@@ -1,0 +1,265 @@
+"""Typed configuration tree for fastvlm_tpu.
+
+One config system replaces the reference's three overlapping ones (HF dataclass
+args, JSON model configs, argparse CLIs — see reference llava/train/train_qwen.py:53-121,
+mobileclip/configs/mobileclip_l.json, llava/model/builder.py:26-181). The tree can
+ingest HF ``config.json`` files written by the reference trainer so released
+checkpoints load unmodified.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from dataclasses import dataclass
+from typing import Any, Dict, Optional, Tuple
+
+import jax.numpy as jnp
+
+# dtype policy names -> jnp dtypes
+_DTYPES = {
+    "float32": jnp.float32,
+    "bfloat16": jnp.bfloat16,
+    "float16": jnp.float16,
+}
+
+
+def resolve_dtype(name) -> Any:
+    if isinstance(name, str):
+        return _DTYPES[name]
+    return name
+
+
+@dataclass(frozen=True)
+class FastViTConfig:
+    """FastViTHD hybrid vision encoder (reference mci.py:1454-1478 ``fastvithd``).
+
+    Defaults reproduce the ``fastvithd`` variant: 5 stages, layers [2,12,24,4,2],
+    dims [96,192,384,768,1536], repmixer x3 + attention x2, RepCPE(7x7) before
+    stages 4 and 5, LayerNormChannel pre-norm in attention blocks, stride-64
+    overall, and a final depthwise "conv_exp" expanding 1536 -> 3072
+    (cls_ratio=2.0, reference mci.py:1401-1411). Only the reparameterized
+    (inference_mode) form is represented: every MobileOne / RepLK / RepMixer /
+    RepCPE block is a single fused conv+bias.
+    """
+
+    layers: Tuple[int, ...] = (2, 12, 24, 4, 2)
+    embed_dims: Tuple[int, ...] = (96, 192, 384, 768, 1536)
+    mlp_ratios: Tuple[int, ...] = (4, 4, 4, 4, 4)
+    token_mixers: Tuple[str, ...] = (
+        "repmixer", "repmixer", "repmixer", "attention", "attention",
+    )
+    pos_embs: Tuple[bool, ...] = (False, False, False, True, True)
+    pos_emb_kernel: int = 7
+    repmixer_kernel: int = 3
+    ffn_kernel: int = 7
+    down_patch_size: int = 7
+    down_stride: int = 2
+    cls_ratio: float = 2.0
+    attn_head_dim: int = 32
+    se_rd_ratio: float = 0.0625  # SEBlock in conv_exp (reference mci.py:49)
+    ln_eps: float = 1e-5
+    image_size: int = 1024
+    # dtype policy
+    param_dtype: str = "float32"
+    compute_dtype: str = "float32"
+
+    @property
+    def out_channels(self) -> int:
+        return int(self.embed_dims[-1] * self.cls_ratio)
+
+    @property
+    def total_stride(self) -> int:
+        # stem is x4; each of the 4 inter-stage downsamplers is x2.
+        return 4 * (self.down_stride ** (len(self.layers) - 1))
+
+    @property
+    def grid_size(self) -> int:
+        return self.image_size // self.total_stride
+
+    @property
+    def num_tokens(self) -> int:
+        return self.grid_size * self.grid_size
+
+
+@dataclass(frozen=True)
+class ProjectorConfig:
+    """Multimodal projector (reference multimodal_projector/builder.py:17-35).
+
+    ``mlp2x_gelu`` (shipped by FastVLM): Linear(mm_hidden -> hidden) -> GELU ->
+    Linear(hidden -> hidden). ``linear`` and ``identity`` also supported.
+    """
+
+    projector_type: str = "mlp2x_gelu"
+    mm_hidden_size: int = 3072
+    hidden_size: int = 896
+
+    @property
+    def mlp_depth(self) -> int:
+        import re
+
+        m = re.match(r"^mlp(\d+)x_gelu$", self.projector_type)
+        return int(m.group(1)) if m else 1
+
+
+@dataclass(frozen=True)
+class Qwen2Config:
+    """Qwen2 decoder family (HF ``Qwen2ForCausalLM`` semantics).
+
+    Defaults are Qwen2-0.5B; see ``qwen2_0_5b`` / ``qwen2_1_5b`` / ``qwen2_7b``.
+    GQA (num_kv_heads < num_heads), RoPE theta 1e6, RMSNorm eps 1e-6, SwiGLU
+    MLP, QKV bias, tied embeddings on the small variants.
+    """
+
+    vocab_size: int = 151936
+    hidden_size: int = 896
+    num_layers: int = 24
+    num_heads: int = 14
+    num_kv_heads: int = 2
+    head_dim: int = 64
+    intermediate_size: int = 4864
+    rope_theta: float = 1_000_000.0
+    rms_eps: float = 1e-6
+    tie_word_embeddings: bool = True
+    max_position_embeddings: int = 32768
+    qkv_bias: bool = True
+    param_dtype: str = "float32"
+    compute_dtype: str = "float32"
+
+    @property
+    def q_dim(self) -> int:
+        return self.num_heads * self.head_dim
+
+    @property
+    def kv_dim(self) -> int:
+        return self.num_kv_heads * self.head_dim
+
+
+def qwen2_0_5b(**kw) -> Qwen2Config:
+    return Qwen2Config(**kw)
+
+
+def qwen2_1_5b(**kw) -> Qwen2Config:
+    base = dict(
+        hidden_size=1536, num_layers=28, num_heads=12, num_kv_heads=2,
+        head_dim=128, intermediate_size=8960, tie_word_embeddings=True,
+    )
+    base.update(kw)
+    return Qwen2Config(**base)
+
+
+def qwen2_7b(**kw) -> Qwen2Config:
+    base = dict(
+        hidden_size=3584, num_layers=28, num_heads=28, num_kv_heads=4,
+        head_dim=128, intermediate_size=18944, tie_word_embeddings=False,
+    )
+    base.update(kw)
+    return Qwen2Config(**base)
+
+
+@dataclass(frozen=True)
+class FastVLMConfig:
+    """Top-level VLM config: vision tower + projector + decoder + token plumbing.
+
+    Mirrors the mm_* keys the reference writes into HF config.json
+    (reference train_qwen.py:1179-1201) plus our TPU-side knobs.
+    """
+
+    vision: FastViTConfig = dataclasses.field(default_factory=FastViTConfig)
+    projector: ProjectorConfig = dataclasses.field(default_factory=ProjectorConfig)
+    decoder: Qwen2Config = dataclasses.field(default_factory=Qwen2Config)
+
+    # token plumbing (reference llava/constants.py)
+    image_token_index: int = -200
+    ignore_index: int = -100
+    image_token: str = "<image>"
+
+    # preprocessing (reference mobileclip_encoder.py:45-49 — resize shortest edge
+    # + center crop + rescale 1/255, mean 0 / std 1)
+    image_aspect_ratio: str = "pad"  # 'pad' | 'anyres' | 'none'
+    image_grid_pinpoints: Optional[Tuple[Tuple[int, int], ...]] = None
+    mm_patch_merge_type: str = "flat"
+
+    # generation defaults
+    max_new_tokens: int = 256
+    context_len: int = 2048
+
+    @property
+    def num_image_tokens(self) -> int:
+        return self.vision.num_tokens
+
+
+# -------------------------------------------------------------------------
+# HF config.json ingestion
+# -------------------------------------------------------------------------
+
+_QWEN2_HF_KEYS = dict(
+    vocab_size="vocab_size",
+    hidden_size="hidden_size",
+    num_layers="num_hidden_layers",
+    num_heads="num_attention_heads",
+    num_kv_heads="num_key_value_heads",
+    intermediate_size="intermediate_size",
+    rope_theta="rope_theta",
+    rms_eps="rms_norm_eps",
+    tie_word_embeddings="tie_word_embeddings",
+    max_position_embeddings="max_position_embeddings",
+)
+
+
+def decoder_from_hf_dict(d: Dict[str, Any], **overrides) -> Qwen2Config:
+    kw: Dict[str, Any] = {}
+    for ours, theirs in _QWEN2_HF_KEYS.items():
+        if theirs in d:
+            kw[ours] = d[theirs]
+    if "head_dim" in d and d["head_dim"]:
+        kw["head_dim"] = d["head_dim"]
+    elif "hidden_size" in kw and "num_heads" in kw:
+        kw["head_dim"] = kw["hidden_size"] // kw["num_heads"]
+    kw.update(overrides)
+    return Qwen2Config(**kw)
+
+
+def vlm_config_from_hf_dict(d: Dict[str, Any], **overrides) -> FastVLMConfig:
+    """Build a FastVLMConfig from a reference-style HF config.json dict.
+
+    Understands the mm_* keys written at train time
+    (reference train_qwen.py:1179-1201) and the mobileclip tower naming
+    convention ``mobileclip_l_1024`` whose suffix sets the input resolution
+    (reference mobileclip_encoder.py:20).
+    """
+    decoder = decoder_from_hf_dict(d)
+
+    image_size = 1024
+    tower = d.get("mm_vision_tower", d.get("vision_tower", "mobileclip_l_1024"))
+    if isinstance(tower, str) and tower.rsplit("_", 1)[-1].isdigit():
+        image_size = int(tower.rsplit("_", 1)[-1])
+    vision = FastViTConfig(image_size=image_size)
+
+    projector = ProjectorConfig(
+        projector_type=d.get("mm_projector_type", "mlp2x_gelu"),
+        mm_hidden_size=d.get("mm_hidden_size", vision.out_channels),
+        hidden_size=decoder.hidden_size,
+    )
+
+    grid = d.get("image_grid_pinpoints")
+    kw: Dict[str, Any] = dict(
+        vision=vision,
+        projector=projector,
+        decoder=decoder,
+        image_aspect_ratio=d.get("image_aspect_ratio", "pad"),
+        image_grid_pinpoints=tuple(map(tuple, grid)) if grid else None,
+        mm_patch_merge_type=d.get("mm_patch_merge_type", "flat"),
+        context_len=d.get("max_sequence_length", d.get("max_position_embeddings", 2048)),
+    )
+    kw.update(overrides)
+    return FastVLMConfig(**kw)
+
+
+def load_vlm_config(path: str, **overrides) -> FastVLMConfig:
+    """Load from a checkpoint dir containing HF config.json, or a json file."""
+    if os.path.isdir(path):
+        path = os.path.join(path, "config.json")
+    with open(path) as f:
+        return vlm_config_from_hf_dict(json.load(f), **overrides)

@@ -1,0 +1,249 @@
+"""Qwen2 decoder family — TPU-native JAX implementation.
+
+Matches HF ``Qwen2ForCausalLM`` numerics (the reference defers to HF for its
+decoder: llava/model/language_model/llava_qwen.py:30-160): RMSNorm(eps 1e-6),
+GPT-NeoX-style RoPE (theta 1e6), GQA with QKV bias / bias-free o_proj, SwiGLU
+MLP, optional tied embeddings (0.5B/1.5B).
+
+TPU-first design:
+  * per-layer params stacked on a leading axis and driven by ``lax.scan`` —
+    one compiled layer body, O(1) compile time in depth;
+  * static-shape compact KV cache (ops/kv_cache.py) — decode is a fixed-shape
+    jitted step, no retrace, no realloc;
+  * float32 softmax/accumulation, bf16 storage by policy;
+  * forward takes *embeddings*, not token ids, so the VLM splice path
+    (vision tokens interleaved with text) is the same code path as plain LM.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from fastvlm_tpu.config import Qwen2Config, resolve_dtype
+from fastvlm_tpu.ops.conv import rms_norm
+from fastvlm_tpu.ops.kv_cache import KVCache, write_prompt, write_token
+
+Params = Dict[str, Any]
+
+NEG_INF = -1e30  # mask value; finite to keep softmax NaN-free on fully-masked rows
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+
+def _dense(key, cin, cout, dtype, bias, std=0.02):
+    p = {"w": (jax.random.normal(key, (cin, cout)) * std).astype(dtype)}
+    if bias:
+        p["b"] = jnp.zeros((cout,), dtype)
+    return p
+
+
+def _layer_init(key, cfg: Qwen2Config, dtype):
+    ks = jax.random.split(key, 7)
+    d = cfg.hidden_size
+    return {
+        "ln1": jnp.ones((d,), dtype),
+        "q": _dense(ks[0], d, cfg.q_dim, dtype, cfg.qkv_bias),
+        "k": _dense(ks[1], d, cfg.kv_dim, dtype, cfg.qkv_bias),
+        "v": _dense(ks[2], d, cfg.kv_dim, dtype, cfg.qkv_bias),
+        "o": _dense(ks[3], cfg.q_dim, d, dtype, bias=False),
+        "ln2": jnp.ones((d,), dtype),
+        "gate": _dense(ks[4], d, cfg.intermediate_size, dtype, bias=False),
+        "up": _dense(ks[5], d, cfg.intermediate_size, dtype, bias=False),
+        "down": _dense(ks[6], cfg.intermediate_size, d, dtype, bias=False),
+    }
+
+
+def init(key, cfg: Qwen2Config) -> Params:
+    dtype = resolve_dtype(cfg.param_dtype)
+    k_emb, k_layers, k_head = jax.random.split(key, 3)
+    layer_keys = jax.random.split(k_layers, cfg.num_layers)
+    layers = [_layer_init(k, cfg, dtype) for k in layer_keys]
+    params: Params = {
+        "embed": (jax.random.normal(k_emb, (cfg.vocab_size, cfg.hidden_size)) * 0.02).astype(dtype),
+        "layers": jax.tree.map(lambda *xs: jnp.stack(xs), *layers),
+        "final_norm": jnp.ones((cfg.hidden_size,), dtype),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = _dense(k_head, cfg.hidden_size, cfg.vocab_size, dtype, bias=False)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# RoPE
+# ---------------------------------------------------------------------------
+
+
+def rope_cos_sin(positions: jnp.ndarray, head_dim: int, theta: float):
+    """positions: (...,) int -> cos/sin of shape (..., head_dim), f32.
+
+    GPT-NeoX convention: frequencies for the first half, duplicated for the
+    second half (matches HF Qwen2 rotary embedding).
+    """
+    half = head_dim // 2
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, half, dtype=jnp.float32) / half))
+    angles = positions[..., None].astype(jnp.float32) * inv_freq  # (..., half)
+    angles = jnp.concatenate([angles, angles], axis=-1)
+    return jnp.cos(angles), jnp.sin(angles)
+
+
+def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray):
+    """x: (B, T, H, D); cos/sin: (B, T, D) -> rotated x (same dtype)."""
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    rotated = jnp.concatenate([-x2, x1], axis=-1)
+    xf = x.astype(jnp.float32)
+    rf = rotated.astype(jnp.float32)
+    out = xf * cos[:, :, None, :] + rf * sin[:, :, None, :]
+    return out.astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# attention / layer body
+# ---------------------------------------------------------------------------
+
+
+def _project(x, p):
+    out = jnp.einsum("btd,df->btf", x, p["w"].astype(x.dtype),
+                     preferred_element_type=jnp.float32)
+    if "b" in p:
+        out = out + p["b"].astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+def _attend(q, k, v, mask):
+    """q: (B,T,Hq,D); k,v: (B,S,Hkv,D); mask: (B,1,T,S) bool -> (B,T,Hq,D)."""
+    b, t, hq, d = q.shape
+    hkv = k.shape[2]
+    group = hq // hkv
+    q = q.reshape(b, t, hkv, group, d)
+    scores = jnp.einsum("bthgd,bshd->bhgts", q, k,
+                        preferred_element_type=jnp.float32) * (d ** -0.5)
+    scores = jnp.where(mask[:, :, None], scores, NEG_INF)  # mask (B,Hkv=1 bc,T,S)
+    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhgts,bshd->bthgd", probs, v,
+                     preferred_element_type=jnp.float32).astype(v.dtype)
+    return out.reshape(b, t, hq * d)
+
+
+def _layer(x, lp, cfg: Qwen2Config, cos, sin, cache_k, cache_v, mask, lengths, prefill):
+    """One decoder layer. cache_k/v: (B, S_max, Hkv, D) or None (no-cache)."""
+    b, t, d = x.shape
+    h = rms_norm(x, lp["ln1"], cfg.rms_eps)
+    q = _project(h, lp["q"]).reshape(b, t, cfg.num_heads, cfg.head_dim)
+    k = _project(h, lp["k"]).reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
+    v = _project(h, lp["v"]).reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+
+    if cache_k is None:
+        keys, values = k, v
+        new_cache = None
+    else:
+        if prefill:
+            cache_k, cache_v = write_prompt(cache_k, cache_v, k, v)
+        else:
+            cache_k, cache_v = write_token(cache_k, cache_v, k, v, lengths)
+        keys, values = cache_k, cache_v
+        new_cache = (cache_k, cache_v)
+
+    attn = _attend(q, keys.astype(q.dtype), values.astype(q.dtype), mask)
+    x = x + _project(attn, lp["o"]).reshape(b, t, d)
+
+    h = rms_norm(x, lp["ln2"], cfg.rms_eps)
+    gated = jax.nn.silu(
+        _project(h, lp["gate"]).astype(jnp.float32)
+    ).astype(h.dtype) * _project(h, lp["up"])
+    x = x + _project(gated, lp["down"])
+    return x, new_cache
+
+
+# ---------------------------------------------------------------------------
+# public forward
+# ---------------------------------------------------------------------------
+
+
+def embed(params: Params, ids: jnp.ndarray) -> jnp.ndarray:
+    return jnp.take(params["embed"], ids, axis=0)
+
+
+def logits_from_hidden(params: Params, hidden: jnp.ndarray, cfg: Qwen2Config):
+    if cfg.tie_word_embeddings:
+        w = params["embed"].astype(hidden.dtype)
+        return jnp.einsum("btd,vd->btv", hidden, w,
+                          preferred_element_type=jnp.float32)
+    return jnp.einsum("btd,dv->btv", hidden,
+                      params["lm_head"]["w"].astype(hidden.dtype),
+                      preferred_element_type=jnp.float32)
+
+
+def forward(
+    params: Params,
+    cfg: Qwen2Config,
+    inputs_embeds: jnp.ndarray,  # (B, T, D)
+    positions: jnp.ndarray,      # (B, T) int32 RoPE positions
+    cache: Optional[KVCache] = None,
+    mask: Optional[jnp.ndarray] = None,  # (B, T, S) bool, True = attend
+    prefill: bool = True,
+) -> Tuple[jnp.ndarray, Optional[KVCache]]:
+    """Run the decoder stack over embeddings; returns (hidden, new_cache).
+
+    With a cache: S = cache.max_len; prefill writes rows [0,T), decode writes
+    at cache.lengths. Without a cache: plain causal self-attention over T
+    (training path).
+    """
+    x = inputs_embeds
+    b, t, _ = x.shape
+    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+
+    if mask is None:
+        # plain causal (no cache / full self-attention)
+        causal = jnp.tril(jnp.ones((t, t), bool))
+        mask = jnp.broadcast_to(causal, (b, t, t))
+    mask = mask[:, None]  # (B, 1, T, S)
+
+    lengths = cache.lengths if cache is not None else None
+
+    if cache is None:
+        def body(carry, lp):
+            h, _ = _layer(carry, lp, cfg, cos, sin, None, None, mask, None, prefill)
+            return h, None
+
+        x, _ = lax.scan(body, x, params["layers"])
+        new_cache = None
+    else:
+        def body(carry, layer_in):
+            lp, ck, cv = layer_in
+            h, (nk, nv) = _layer(carry, lp, cfg, cos, sin, ck, cv, mask, lengths, prefill)
+            return h, (nk, nv)
+
+        x, (nk, nv) = lax.scan(body, x, (params["layers"], cache.k, cache.v))
+        new_lengths = (lengths + t) if prefill else (lengths + 1)
+        # prefill rows may be padded; caller overrides lengths afterwards if so
+        new_cache = KVCache(k=nk, v=nv, lengths=new_lengths)
+
+    x = rms_norm(x, params["final_norm"], cfg.rms_eps)
+    return x, new_cache
+
+
+def prefill_mask(seq_lens: jnp.ndarray, t: int, s_max: int) -> jnp.ndarray:
+    """(B, T, S_max) mask for right-padded prefill: causal AND k < seq_len."""
+    q_pos = jnp.arange(t)[:, None]
+    k_pos = jnp.arange(s_max)[None, :]
+    causal = k_pos <= q_pos  # (T, S_max)
+    valid = k_pos[None] < seq_lens[:, None, None]  # (B, 1, S_max)
+    return causal[None] & valid
+
+
+def decode_mask(lengths: jnp.ndarray, s_max: int) -> jnp.ndarray:
+    """(B, 1, S_max) mask for one decode step: attend to k <= lengths[b].
+
+    (the new token is written at index lengths[b] before attending)."""
+    k_pos = jnp.arange(s_max)[None, None, :]
+    return k_pos <= lengths[:, None, None]

@@ -1,0 +1,98 @@
+"""Core NHWC conv / norm ops for the TPU compute path.
+
+All convolutions run in NHWC with HWIO kernels — the layout XLA:TPU tiles
+directly onto the MXU. Padding is explicit-symmetric (k//2 per side) so
+shapes match the reference's torch ``Conv2d(padding=k//2)`` semantics for
+every kernel/stride combination used by FastViTHD (reference mci.py blocks),
+including the stride-2 even-input cases where XLA 'SAME' padding would shift
+the sampling grid.
+
+Accumulation is always float32 (``preferred_element_type``) regardless of the
+bf16/fp32 storage dtype.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+DIMS = ("NHWC", "HWIO", "NHWC")
+
+
+def gelu(x):
+    """Exact (erf) GELU — the reference uses torch nn.GELU default."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+def conv2d(x, w, b=None, *, stride=1, padding=None, groups=1):
+    """NHWC conv. ``w`` is HWIO with I = C_in // groups.
+
+    padding defaults to k//2 per side (torch-style 'same' for odd kernels).
+    """
+    k = w.shape[0]
+    if padding is None:
+        padding = k // 2
+    if isinstance(padding, int):
+        padding = [(padding, padding), (padding, padding)]
+    if isinstance(stride, int):
+        stride = (stride, stride)
+    out = lax.conv_general_dilated(
+        x,
+        w.astype(x.dtype),
+        window_strides=stride,
+        padding=padding,
+        dimension_numbers=DIMS,
+        feature_group_count=groups,
+        preferred_element_type=jnp.float32,
+    )
+    if b is not None:
+        out = out + b.astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+def conv_block(x, p, *, stride=1, groups=1, act=True, se=None):
+    """Fused conv(+bias) -> optional SE gate -> optional exact GELU.
+
+    This is the inference-time form of every reparameterized block in
+    FastViTHD (MobileOneBlock / ReparamLargeKernelConv after fusion —
+    reference mci.py:196-216, 443-451).
+    """
+    out = conv2d(x, p["w"], p.get("b"), stride=stride, groups=groups)
+    if se is not None:
+        out = se_gate(out, se)
+    if act:
+        out = gelu(out)
+    return out
+
+
+def se_gate(x, p):
+    """Squeeze-excite: global-mean -> 1x1 reduce -> relu -> 1x1 expand -> sigmoid
+    gate (reference mci.py:42-81 SEBlock)."""
+    pooled = jnp.mean(x.astype(jnp.float32), axis=(1, 2), keepdims=True)
+    z = conv2d(pooled.astype(x.dtype), p["reduce_w"], p["reduce_b"], padding=0)
+    z = jax.nn.relu(z)
+    z = conv2d(z, p["expand_w"], p["expand_b"], padding=0)
+    return x * jax.nn.sigmoid(z.astype(jnp.float32)).astype(x.dtype)
+
+
+def layer_norm(x, scale, bias, eps=1e-5):
+    """LayerNorm over the trailing (channel) axis, computed in float32.
+
+    In NHWC this is exactly the reference's LayerNormChannel on NCHW
+    (reference mci.py:606-623): normalize each spatial position over channels.
+    """
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * lax.rsqrt(var + eps)
+    y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def rms_norm(x, scale, eps=1e-6):
+    """RMSNorm over trailing axis in float32 (Qwen2 decoder norm)."""
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+    y = xf * lax.rsqrt(var + eps)
+    return (y * scale.astype(jnp.float32)).astype(x.dtype)

@@ -1,0 +1,24 @@
+"""Test harness config: force JAX onto CPU with 8 virtual devices.
+
+This is the standard JAX substitute for multi-chip hardware in CI — sharding
+tests exercise real pjit/collective lowering on a virtual mesh (SURVEY.md §4).
+Must run before jax initializes a backend, hence env mutation at import time.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"  # override ambient axon/tpu setting
+# Keep compile cache deterministic + quiet in CI
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+# The axon TPU plugin rewrites jax_platforms to "axon,cpu" on import; force CPU
+# after import so parity tests run with exact f32 math.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
