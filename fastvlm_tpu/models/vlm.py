@@ -1,0 +1,182 @@
+"""FastVLM — the fused vision-encode → prefill → decode pipeline.
+
+This is the TPU-native replacement for the reference's LlavaMetaForCausalLM +
+HF generate stack (llava/model/llava_arch.py:132-332 splice loop;
+llava/model/language_model/llava_qwen.py:30-160 forward/generate): one jitted
+prefill that runs the vision tower, projector, embedding overlay, and the full
+decoder prompt pass in a single XLA program (TTFT = this one call), and one
+jitted whole-generation function whose decode loop is a ``lax.while_loop`` on
+device — no per-token host round-trips (the axon/PCIe dispatch latency would
+otherwise dominate decode).
+
+Static-shape policy: prompts are right-padded to a bucket length; the image
+sentinel is pre-expanded host-side to ``num_image_tokens`` placeholder slots
+(ops/splice.py); the KV cache is allocated at prompt_bucket + max_new_tokens.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from fastvlm_tpu.config import FastVLMConfig, resolve_dtype
+from fastvlm_tpu.models import fastvit, projector, qwen2
+from fastvlm_tpu.ops.kv_cache import KVCache, init_cache
+from fastvlm_tpu.ops.sampling import SamplingParams, sample
+from fastvlm_tpu.ops.splice import overlay_image_embeds
+
+Params = Dict[str, Any]
+
+
+def init(key, cfg: FastVLMConfig) -> Params:
+    kv, kp, kd = jax.random.split(key, 3)
+    return {
+        "vision": fastvit.init(kv, cfg.vision),
+        "projector": projector.init(kp, cfg.projector),
+        "decoder": qwen2.init(kd, cfg.decoder),
+    }
+
+
+def encode_images(params: Params, cfg: FastVLMConfig, images: jnp.ndarray) -> jnp.ndarray:
+    """images (B, H, W, 3) -> projected vision embeddings (B, N, hidden).
+
+    Tower forward + feature_select + mm_projector in one fused graph
+    (reference llava_arch.py:141-144 ``encode_images``)."""
+    feats = fastvit.apply(params["vision"], images, cfg.vision)
+    return projector.apply(params["projector"], feats, cfg.projector)
+
+
+def _spliced_prompt_embeds(params, cfg, images, ids, image_starts):
+    text = qwen2.embed(params["decoder"], ids)
+    cd = resolve_dtype(cfg.decoder.compute_dtype)
+    text = text.astype(cd)
+    if images is not None:
+        vis = encode_images(params, cfg, images).astype(cd)
+        text = overlay_image_embeds(text, vis, image_starts)
+    return text
+
+
+def prefill(
+    params: Params,
+    cfg: FastVLMConfig,
+    images: Optional[jnp.ndarray],  # (B, H, W, 3) or None (text-only)
+    ids: jnp.ndarray,               # (B, T) sentinel-expanded, right-padded
+    seq_lens: jnp.ndarray,          # (B,)
+    image_starts: jnp.ndarray,      # (B,) -1 for text-only rows
+    cache: KVCache,
+) -> Tuple[jnp.ndarray, KVCache]:
+    """Fused encode+prefill. Returns (next-token logits (B, V), cache)."""
+    embeds = _spliced_prompt_embeds(params, cfg, images, ids, image_starts)
+    b, t, _ = embeds.shape
+    positions = jnp.arange(t, dtype=jnp.int32)[None, :].repeat(b, 0)
+    mask = qwen2.prefill_mask(seq_lens, t, cache.max_len)
+    hidden, cache = qwen2.forward(
+        params["decoder"], cfg.decoder, embeds, positions,
+        cache=cache, mask=mask, prefill=True,
+    )
+    cache = cache._replace(lengths=seq_lens)  # padded rows: real lengths
+    # logits at each row's last real token
+    last = jnp.clip(seq_lens - 1, 0, t - 1)
+    last_hidden = jnp.take_along_axis(hidden, last[:, None, None], axis=1)
+    logits = qwen2.logits_from_hidden(params["decoder"], last_hidden, cfg.decoder)
+    return logits[:, 0], cache
+
+
+def decode_step(
+    params: Params,
+    cfg: FastVLMConfig,
+    tokens: jnp.ndarray,  # (B,) last sampled token ids
+    cache: KVCache,
+) -> Tuple[jnp.ndarray, KVCache]:
+    """One decode step: embed token, attend over cache, return (logits, cache)."""
+    embeds = qwen2.embed(params["decoder"], tokens[:, None]).astype(
+        resolve_dtype(cfg.decoder.compute_dtype)
+    )
+    positions = cache.lengths[:, None]
+    mask = qwen2.decode_mask(cache.lengths, cache.max_len)
+    hidden, cache = qwen2.forward(
+        params["decoder"], cfg.decoder, embeds, positions,
+        cache=cache, mask=mask, prefill=False,
+    )
+    logits = qwen2.logits_from_hidden(params["decoder"], hidden, cfg.decoder)
+    return logits[:, 0], cache
+
+
+class GenerateResult(NamedTuple):
+    tokens: jnp.ndarray        # (B, max_new_tokens) int32, pad after EOS
+    num_generated: jnp.ndarray  # (B,) int32 (including the EOS token)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "max_new_tokens", "eos_ids", "sampling"),
+)
+def generate(
+    params: Params,
+    cfg: FastVLMConfig,
+    images: Optional[jnp.ndarray],
+    ids: jnp.ndarray,
+    seq_lens: jnp.ndarray,
+    image_starts: jnp.ndarray,
+    key: jax.Array,
+    *,
+    max_new_tokens: int = 256,
+    eos_ids: Tuple[int, ...] = (151645,),  # <|im_end|>
+    sampling: SamplingParams = SamplingParams(),
+) -> GenerateResult:
+    """Whole-generation on device: prefill + while_loop greedy/sampled decode.
+
+    Functional equivalent of HF ``generate`` with KeywordsStoppingCriteria
+    (reference mm_utils.py:218-250) for token-level stop ids.
+    """
+    b, t = ids.shape
+    max_len = t + max_new_tokens
+    cache = init_cache(
+        cfg.decoder.num_layers, b, max_len,
+        cfg.decoder.num_kv_heads, cfg.decoder.head_dim,
+        dtype=resolve_dtype(cfg.decoder.compute_dtype),
+    )
+    logits, cache = prefill(params, cfg, images, ids, seq_lens, image_starts, cache)
+
+    eos = jnp.asarray(eos_ids, jnp.int32)
+
+    def sample_tok(logits, k):
+        tok = sample(k, logits, sampling)
+        return tok
+
+    k0, key = jax.random.split(key)
+    tok0 = sample_tok(logits, k0)
+
+    out = jnp.zeros((b, max_new_tokens), jnp.int32)
+    out = out.at[:, 0].set(tok0)
+    done0 = jnp.isin(tok0, eos)
+
+    State = Tuple  # (step, tokens_out, last_tok, done, cache, key)
+
+    def cond(state):
+        step, _, _, done, _, _ = state
+        return (step < max_new_tokens) & ~jnp.all(done)
+
+    def body(state):
+        step, out, last_tok, done, cache, key = state
+        logits, cache = decode_step(params, cfg, last_tok, cache)
+        key, sub = jax.random.split(key)
+        tok = sample_tok(logits, sub)
+        tok = jnp.where(done, 0, tok)
+        out = lax.dynamic_update_slice(out, tok[:, None], (0, step))
+        done = done | jnp.isin(tok, eos)
+        return (step + 1, out, tok, done, cache, key)
+
+    state = (jnp.int32(1), out, tok0, done0, cache, key)
+    steps, out, _, done, _, _ = lax.while_loop(cond, body, state)
+
+    # count tokens per row: generated until first EOS (inclusive) or cap
+    is_eos = jnp.isin(out, eos)
+    any_eos = jnp.any(is_eos, axis=1)
+    first_eos = jnp.argmax(is_eos, axis=1)
+    num = jnp.where(any_eos, first_eos + 1, steps)
+    return GenerateResult(tokens=out, num_generated=num.astype(jnp.int32))

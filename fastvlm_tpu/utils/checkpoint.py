@@ -1,0 +1,294 @@
+"""Checkpoint import: released FastVLM (PyTorch/HF) weights -> fastvlm_tpu pytrees.
+
+The released checkpoints are LlavaQwen2ForCausalLM state dicts (model_type
+"llava_qwen2") whose vision tower is the *reparameterized* FastViTHD
+(``inference_mode=True`` at reference mci.py:1472), so every MobileOne /
+RepLK / RepMixer / RepCPE block arrives as a single ``reparam_conv`` /
+``lkb_reparam`` conv+bias. Two transforms happen at import:
+
+  * layout: torch OIHW conv kernels -> HWIO; ``nn.Linear`` (out,in) -> (in,out)
+  * folding: the ConvFFN depthwise conv + BatchNorm pair (the only BN left at
+    inference, reference mci.py:862-927) is fused into one conv+bias:
+        w' = w * gamma/sqrt(var+eps),  b' = beta - mean*gamma/sqrt(var+eps)
+
+Key map (reference module tree):
+  model.vision_tower.vision_tower.model.*   FastViT (MobileCLIPVisionTower ->
+                                            MCi.model, mobileclip/__init__.py:34-58)
+  model.mm_projector.{0,2}.*                mlp2x_gelu Linear/GELU/Linear
+  model.{embed_tokens,layers.*,norm}, lm_head   HF Qwen2
+Network list indices (FastViT.__init__, mci.py:1360-1392): stages and
+downsamplers interleave as [stage0, down, stage1, down, stage2, down, cpe,
+stage3, down, cpe, stage4].
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Callable, Dict, List, Mapping, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fastvlm_tpu.config import (
+    FastViTConfig,
+    FastVLMConfig,
+    ProjectorConfig,
+    Qwen2Config,
+)
+
+Array = np.ndarray
+StateDict = Mapping[str, Array]
+
+VISION_PREFIX = "model.vision_tower.vision_tower.model."
+PROJECTOR_PREFIX = "model.mm_projector."
+
+
+# ---------------------------------------------------------------------------
+# raw state-dict loading
+# ---------------------------------------------------------------------------
+
+
+def load_state_dict(path: str) -> Dict[str, Array]:
+    """Load a HF checkpoint dir (safetensors single/sharded, or torch .bin)."""
+    if os.path.isfile(path):
+        return _load_one(path)
+    idx = os.path.join(path, "model.safetensors.index.json")
+    if os.path.exists(idx):
+        with open(idx) as f:
+            shards = sorted(set(json.load(f)["weight_map"].values()))
+        out: Dict[str, Array] = {}
+        for s in shards:
+            out.update(_load_one(os.path.join(path, s)))
+        return out
+    single = os.path.join(path, "model.safetensors")
+    if os.path.exists(single):
+        return _load_one(single)
+    binp = os.path.join(path, "pytorch_model.bin")
+    if os.path.exists(binp):
+        return _load_one(binp)
+    raise FileNotFoundError(f"no checkpoint found under {path}")
+
+
+def _load_one(fp: str) -> Dict[str, Array]:
+    if fp.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+
+        try:
+            return load_file(fp)
+        except Exception:
+            # bf16 safetensors need the torch loader
+            from safetensors.torch import load_file as tload
+
+            return {k: _to_np(v) for k, v in tload(fp).items()}
+    import torch
+
+    sd = torch.load(fp, map_location="cpu", weights_only=True)
+    return {k: _to_np(v) for k, v in sd.items()}
+
+
+def _to_np(t) -> Array:
+    import torch
+
+    if isinstance(t, torch.Tensor):
+        if t.dtype == torch.bfloat16:
+            t = t.float()
+        return t.detach().cpu().numpy()
+    return np.asarray(t)
+
+
+# ---------------------------------------------------------------------------
+# layout helpers
+# ---------------------------------------------------------------------------
+
+
+def _conv(sd: StateDict, name: str, dtype) -> Dict[str, jnp.ndarray]:
+    """torch conv ``{name}.weight`` OIHW (+ optional bias) -> HWIO dict."""
+    w = np.transpose(np.asarray(sd[name + ".weight"], np.float32), (2, 3, 1, 0))
+    p = {"w": jnp.asarray(w, dtype)}
+    if name + ".bias" in sd:
+        p["b"] = jnp.asarray(np.asarray(sd[name + ".bias"], np.float32), dtype)
+    return p
+
+
+def _conv_bn_folded(sd: StateDict, conv: str, bn: str, dtype, eps=1e-5) -> Dict[str, jnp.ndarray]:
+    w = np.asarray(sd[conv + ".weight"], np.float32)  # OIHW
+    gamma = np.asarray(sd[bn + ".weight"], np.float32)
+    beta = np.asarray(sd[bn + ".bias"], np.float32)
+    mean = np.asarray(sd[bn + ".running_mean"], np.float32)
+    var = np.asarray(sd[bn + ".running_var"], np.float32)
+    std = np.sqrt(var + eps)
+    w = w * (gamma / std)[:, None, None, None]
+    b = beta - mean * gamma / std
+    return {
+        "w": jnp.asarray(np.transpose(w, (2, 3, 1, 0)), dtype),
+        "b": jnp.asarray(b, dtype),
+    }
+
+
+def _linear(sd: StateDict, name: str, dtype, bias=True) -> Dict[str, jnp.ndarray]:
+    p = {"w": jnp.asarray(np.asarray(sd[name + ".weight"], np.float32).T, dtype)}
+    if bias and name + ".bias" in sd:
+        p["b"] = jnp.asarray(np.asarray(sd[name + ".bias"], np.float32), dtype)
+    return p
+
+
+def _vec(sd: StateDict, name: str, dtype) -> jnp.ndarray:
+    return jnp.asarray(np.asarray(sd[name], np.float32).reshape(-1), dtype)
+
+
+# ---------------------------------------------------------------------------
+# FastViTHD vision tower
+# ---------------------------------------------------------------------------
+
+
+def convert_vision(sd: StateDict, cfg: FastViTConfig, dtype=jnp.float32,
+                   prefix: str = VISION_PREFIX) -> Dict[str, Any]:
+    g = lambda n: prefix + n  # noqa: E731
+
+    stem = [
+        _conv(sd, g("patch_embed.0.reparam_conv"), dtype),
+        _conv(sd, g("patch_embed.1.reparam_conv"), dtype),
+        _conv(sd, g("patch_embed.2.reparam_conv"), dtype),
+    ]
+
+    def ffn(base: str) -> Dict[str, Any]:
+        return {
+            "dw": _conv_bn_folded(sd, base + ".conv.conv", base + ".conv.bn", dtype),
+            "fc1": _conv(sd, base + ".fc1", dtype),
+            "fc2": _conv(sd, base + ".fc2", dtype),
+        }
+
+    def repmixer_block(base: str) -> Dict[str, Any]:
+        return {
+            "mixer": _conv(sd, base + ".token_mixer.reparam_conv", dtype),
+            "ffn": ffn(base + ".convffn"),
+            "ls": _vec(sd, base + ".layer_scale", dtype),
+        }
+
+    def attention_block(base: str) -> Dict[str, Any]:
+        return {
+            "norm_scale": _vec(sd, base + ".norm.weight", dtype),
+            "norm_bias": _vec(sd, base + ".norm.bias", dtype),
+            "qkv": _linear(sd, base + ".token_mixer.qkv", dtype, bias=False),
+            "proj": _linear(sd, base + ".token_mixer.proj", dtype),
+            "ffn": ffn(base + ".convffn"),
+            "ls1": _vec(sd, base + ".layer_scale_1", dtype),
+            "ls2": _vec(sd, base + ".layer_scale_2", dtype),
+        }
+
+    stages: List[Dict[str, Any]] = []
+    net = 0  # index into the reference's flat ModuleList
+    for i, n_blocks in enumerate(cfg.layers):
+        stage: Dict[str, Any] = {}
+        if cfg.pos_embs[i]:
+            stage["cpe"] = _conv(sd, g(f"network.{net}.reparam_conv"), dtype)
+            net += 1
+        make = repmixer_block if cfg.token_mixers[i] == "repmixer" else attention_block
+        blocks = [make(g(f"network.{net}.{b}")) for b in range(n_blocks)]
+        stage["blocks"] = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+        net += 1
+        if i + 1 < len(cfg.layers):
+            stage["down"] = {
+                "lk": _conv(sd, g(f"network.{net}.proj.0.lkb_reparam"), dtype),
+                "pw": _conv(sd, g(f"network.{net}.proj.1.reparam_conv"), dtype),
+            }
+            net += 1
+        stages.append(stage)
+
+    conv_exp = _conv(sd, g("conv_exp.reparam_conv"), dtype)
+    conv_exp["se"] = {
+        "reduce_w": _conv(sd, g("conv_exp.se.reduce"), dtype)["w"],
+        "reduce_b": _vec(sd, g("conv_exp.se.reduce.bias"), dtype),
+        "expand_w": _conv(sd, g("conv_exp.se.expand"), dtype)["w"],
+        "expand_b": _vec(sd, g("conv_exp.se.expand.bias"), dtype),
+    }
+
+    return {"stem": stem, "stages": stages, "conv_exp": conv_exp}
+
+
+# ---------------------------------------------------------------------------
+# projector / decoder / full VLM
+# ---------------------------------------------------------------------------
+
+
+def convert_projector(sd: StateDict, cfg: ProjectorConfig, dtype=jnp.float32,
+                      prefix: str = PROJECTOR_PREFIX) -> Dict[str, Any]:
+    if cfg.projector_type == "identity":
+        return {"layers": []}
+    layers = []
+    i = 0
+    # reference Sequential: Linear, GELU, Linear, GELU, ... -> even indices
+    while prefix + f"{i}.weight" in sd:
+        layers.append(_linear(sd, prefix + str(i), dtype))
+        i += 2
+    if not layers:
+        raise KeyError(f"no projector weights under {prefix}")
+    return {"layers": layers}
+
+
+def convert_decoder(sd: StateDict, cfg: Qwen2Config, dtype=jnp.float32,
+                    prefix: str = "") -> Dict[str, Any]:
+    g = lambda n: prefix + n  # noqa: E731
+    layers = []
+    for i in range(cfg.num_layers):
+        base = g(f"model.layers.{i}.")
+        layers.append({
+            "ln1": _vec(sd, base + "input_layernorm.weight", dtype),
+            "q": _linear(sd, base + "self_attn.q_proj", dtype),
+            "k": _linear(sd, base + "self_attn.k_proj", dtype),
+            "v": _linear(sd, base + "self_attn.v_proj", dtype),
+            "o": _linear(sd, base + "self_attn.o_proj", dtype, bias=False),
+            "ln2": _vec(sd, base + "post_attention_layernorm.weight", dtype),
+            "gate": _linear(sd, base + "mlp.gate_proj", dtype, bias=False),
+            "up": _linear(sd, base + "mlp.up_proj", dtype, bias=False),
+            "down": _linear(sd, base + "mlp.down_proj", dtype, bias=False),
+        })
+    params: Dict[str, Any] = {
+        "embed": jnp.asarray(
+            np.asarray(sd[g("model.embed_tokens.weight")], np.float32), dtype),
+        "layers": jax.tree.map(lambda *xs: jnp.stack(xs), *layers),
+        "final_norm": _vec(sd, g("model.norm.weight"), dtype),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = _linear(sd, g("lm_head"), dtype, bias=False)
+    return params
+
+
+def convert_vlm(sd: StateDict, cfg: FastVLMConfig, dtype=jnp.float32) -> Dict[str, Any]:
+    return {
+        "vision": convert_vision(sd, cfg.vision, dtype),
+        "projector": convert_projector(sd, cfg.projector, dtype),
+        "decoder": convert_decoder(sd, cfg.decoder, dtype),
+    }
+
+
+def load_vlm(checkpoint_dir: str, cfg: Optional[FastVLMConfig] = None,
+             dtype=jnp.float32):
+    """One-call loader: (config.json + weights) -> (cfg, params)."""
+    from fastvlm_tpu.config import load_vlm_config
+
+    if cfg is None:
+        cfg = load_vlm_config(checkpoint_dir)
+    sd = load_state_dict(checkpoint_dir)
+    return cfg, convert_vlm(sd, cfg, dtype)
+
+
+# ---------------------------------------------------------------------------
+# Orbax save/restore for native (converted or trained) checkpoints
+# ---------------------------------------------------------------------------
+
+
+def save_native(path: str, params: Any) -> None:
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(os.path.abspath(path), params, force=True)
+
+
+def restore_native(path: str, like: Any) -> Any:
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(os.path.abspath(path), like)
