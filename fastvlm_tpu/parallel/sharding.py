@@ -1,0 +1,74 @@
+"""Named shardings for FastVLM parameter pytrees.
+
+Tensor-parallel layout for the Qwen2 decoder (megatron-style, over the
+"model" mesh axis):
+  q/k/v projections  — shard the head (output) dim;
+  o projection       — shard the input dim (row-parallel; XLA inserts the psum);
+  gate/up            — shard intermediate (output) dim;
+  down               — shard intermediate (input) dim;
+  embed / lm_head    — shard the vocab dim;
+  norms, biases on replicated dims — replicated.
+
+The vision tower + projector are small (≲ 130M params even for the 7B model)
+and stay replicated — encoding is DP-parallel across the batch. This mirrors
+the design target in SURVEY.md §2.4 ("TPU-native equivalents to build").
+
+Param pytrees carry a stacked leading layer axis (lax.scan), so every decoder
+layer spec is prefixed with None for that axis.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from fastvlm_tpu.config import FastVLMConfig, Qwen2Config
+from fastvlm_tpu.parallel.mesh import MODEL_AXIS
+
+
+def decoder_specs(cfg: Qwen2Config) -> Dict[str, Any]:
+    m = MODEL_AXIS
+    col = {"w": P(None, None, m), "b": P(None, m)} if cfg.qkv_bias else {"w": P(None, None, m)}
+    col_nobias = {"w": P(None, None, m)}
+    row = {"w": P(None, m, None)}
+    specs: Dict[str, Any] = {
+        "embed": P(m, None),
+        "final_norm": P(None),
+        "layers": {
+            "ln1": P(None, None),
+            "q": dict(col),
+            "k": dict(col),
+            "v": dict(col),
+            "o": dict(row),
+            "ln2": P(None, None),
+            "gate": dict(col_nobias),
+            "up": dict(col_nobias),
+            "down": dict(row),
+        },
+    }
+    if not cfg.tie_word_embeddings:
+        specs["lm_head"] = {"w": P(None, m)}
+    return specs
+
+
+def vlm_specs(cfg: FastVLMConfig, params: Any) -> Any:
+    """Full-tree PartitionSpecs: decoder TP'd, vision/projector replicated."""
+    replicate = jax.tree.map(lambda _: P(), {
+        "vision": params["vision"], "projector": params["projector"]})
+    return {
+        "vision": replicate["vision"],
+        "projector": replicate["projector"],
+        "decoder": decoder_specs(cfg.decoder),
+    }
+
+
+def shard_vlm(params: Any, cfg: FastVLMConfig, mesh: Mesh) -> Any:
+    """device_put the param tree with NamedShardings on the mesh."""
+    specs = vlm_specs(cfg, params)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        params, specs,
+        is_leaf=lambda x: isinstance(x, P),
+    )

@@ -1,0 +1,126 @@
+"""SFT training step: multimodal forward + masked CE loss + optax update.
+
+Replaces the reference's HF-Trainer forward/backward (train_qwen.py train())
+with a single jitted step. The splice is the same static-shape overlay as
+inference (ops/splice.py); labels carry IGNORE_INDEX(-100) on instruction
+spans and image-placeholder slots, exactly like the reference's preprocessors
+(train_qwen.py:284-888).
+
+Freeze policy (reference train_qwen.py:1167-1202: tune adapter only / freeze
+adapter / unfreeze tower) is expressed through optax.multi_transform label
+routing in ``make_optimizer`` — frozen groups get ``optax.set_to_zero``.
+Per-module LRs (mm_projector_lr / vision_tower_lr, llava_trainer.py:154-242)
+map to per-group adamw transforms.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from fastvlm_tpu.config import FastVLMConfig, resolve_dtype
+from fastvlm_tpu.models import qwen2, vlm
+
+IGNORE_INDEX = -100
+
+
+def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """Token-mean CE over positions where label != IGNORE_INDEX.
+
+    logits: (B, T, V) float; labels: (B, T) int32 (already shifted by caller).
+    """
+    mask = labels != IGNORE_INDEX
+    safe = jnp.where(mask, labels, 0)
+    logits = logits.astype(jnp.float32)
+    logz = jax.scipy.special.logsumexp(logits, axis=-1)
+    gold = jnp.take_along_axis(logits, safe[..., None], axis=-1)[..., 0]
+    nll = (logz - gold) * mask
+    return nll.sum() / jnp.maximum(mask.sum(), 1)
+
+
+def loss_fn(
+    params: Any,
+    cfg: FastVLMConfig,
+    batch: Dict[str, jnp.ndarray],
+) -> jnp.ndarray:
+    """batch: images (B,H,W,3) | None, ids (B,T), labels (B,T),
+    image_starts (B,), attn_lens (B,)."""
+    embeds = vlm._spliced_prompt_embeds(
+        params, cfg, batch.get("images"), batch["ids"], batch["image_starts"])
+    b, t, _ = embeds.shape
+    positions = jnp.arange(t, dtype=jnp.int32)[None].repeat(b, 0)
+    # causal mask restricted to real tokens (right padding)
+    mask = qwen2.prefill_mask(batch["attn_lens"], t, t)
+    hidden, _ = qwen2.forward(
+        params["decoder"], cfg.decoder, embeds, positions, mask=mask)
+    logits = qwen2.logits_from_hidden(params["decoder"], hidden, cfg.decoder)
+    # next-token prediction: logits[t] predicts labels[t+1]
+    return cross_entropy(logits[:, :-1], batch["labels"][:, 1:])
+
+
+def make_optimizer(
+    lr: float = 2e-5,
+    *,
+    weight_decay: float = 0.0,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    warmup_steps: int = 0,
+    total_steps: int = 10_000,
+    projector_lr: Optional[float] = None,
+    vision_lr: Optional[float] = None,
+    freeze_vision: bool = True,
+    freeze_decoder: bool = False,
+    grad_clip: float = 1.0,
+) -> optax.GradientTransformation:
+    """Cosine-decay AdamW with per-module groups (reference
+    llava_trainer.py:154-242) and freeze routing (train_qwen.py:1167-1202)."""
+
+    def sched(peak):
+        if warmup_steps:
+            return optax.warmup_cosine_decay_schedule(
+                0.0, peak, warmup_steps, max(total_steps, warmup_steps + 1))
+        return optax.cosine_decay_schedule(peak, max(total_steps, 1))
+
+    def adamw(peak):
+        return optax.chain(
+            optax.clip_by_global_norm(grad_clip),
+            optax.adamw(sched(peak), b1=b1, b2=b2, weight_decay=weight_decay),
+        )
+
+    transforms = {
+        "decoder": optax.set_to_zero() if freeze_decoder else adamw(lr),
+        "projector": adamw(projector_lr or lr),
+        "vision": optax.set_to_zero() if freeze_vision else adamw(vision_lr or lr),
+    }
+
+    def labeler(params):
+        return {k: jax.tree.map(lambda _: k, v) for k, v in params.items()}
+
+    return optax.multi_transform(transforms, labeler)
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def make_train_state(params: Any, tx: optax.GradientTransformation) -> TrainState:
+    return TrainState(params=params, opt_state=tx.init(params), step=jnp.int32(0))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "tx"), donate_argnums=(0,))
+def train_step(
+    state: TrainState,
+    cfg: FastVLMConfig,
+    tx: optax.GradientTransformation,
+    batch: Dict[str, jnp.ndarray],
+) -> Tuple[TrainState, jnp.ndarray]:
+    loss, grads = jax.value_and_grad(loss_fn)(state.params, cfg, batch)
+    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    return TrainState(params, opt_state, state.step + 1), loss

@@ -1,0 +1,138 @@
+"""Mesh/sharding/training tests on the 8-device virtual CPU mesh
+(SURVEY.md §4 item 4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fastvlm_tpu.config import FastViTConfig, FastVLMConfig, ProjectorConfig, Qwen2Config
+from fastvlm_tpu.models import vlm
+from fastvlm_tpu.ops.splice import expand_image_ids, pad_batch
+from fastvlm_tpu.parallel import make_mesh, sharding
+from fastvlm_tpu.parallel.mesh import data_sharding
+from fastvlm_tpu.train import step as train_step_mod
+
+
+def tiny_cfg(vocab=256):
+    vision = FastViTConfig(layers=(1, 1, 1, 1, 1), embed_dims=(8, 16, 32, 64, 128),
+                           image_size=128, attn_head_dim=16)
+    decoder = Qwen2Config(vocab_size=vocab, hidden_size=64, num_layers=2,
+                          num_heads=4, num_kv_heads=2, head_dim=16,
+                          intermediate_size=128)
+    proj = ProjectorConfig(mm_hidden_size=vision.out_channels, hidden_size=64)
+    return FastVLMConfig(vision=vision, projector=proj, decoder=decoder)
+
+
+def _batch(cfg, batch_size, pad_to=16):
+    rows, starts = [], []
+    for i in range(batch_size):
+        row, s = expand_image_ids([5, 7 + i, -200, 9], cfg.num_image_tokens)
+        rows.append(row)
+        starts.append(s)
+    ids, lens, starts = pad_batch(rows, starts, pad_to)
+    return ids, lens, starts
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(tp=4)
+    assert mesh.shape == {"data": 2, "model": 4}
+    mesh = make_mesh(tp=1)
+    assert mesh.shape == {"data": 8, "model": 1}
+    with pytest.raises(ValueError):
+        make_mesh(dp=3, tp=3)
+
+
+def test_tp_generate_matches_single_device():
+    """TP-sharded generate must equal unsharded generate bit-for-bit path."""
+    cfg = tiny_cfg()
+    params = vlm.init(jax.random.PRNGKey(0), cfg)
+    images = jax.random.uniform(jax.random.PRNGKey(1), (2, 128, 128, 3))
+    ids, lens, starts = _batch(cfg, 2)
+
+    res_ref = vlm.generate(params, cfg, images, jnp.asarray(ids),
+                           jnp.asarray(lens), jnp.asarray(starts),
+                           jax.random.PRNGKey(2), max_new_tokens=4,
+                           eos_ids=(255,))
+
+    mesh = make_mesh(dp=2, tp=4)
+    sharded = sharding.shard_vlm(params, cfg, mesh)
+    imgs_s = jax.device_put(images, data_sharding(mesh))
+    res_tp = vlm.generate(sharded, cfg, imgs_s, jnp.asarray(ids),
+                          jnp.asarray(lens), jnp.asarray(starts),
+                          jax.random.PRNGKey(2), max_new_tokens=4,
+                          eos_ids=(255,))
+    np.testing.assert_array_equal(np.asarray(res_ref.tokens),
+                                  np.asarray(res_tp.tokens))
+
+
+def test_train_step_decreases_loss():
+    cfg = tiny_cfg(vocab=64)
+    params = vlm.init(jax.random.PRNGKey(0), cfg)
+    tx = train_step_mod.make_optimizer(lr=1e-3, freeze_vision=True)
+    state = train_step_mod.make_train_state(params, tx)
+
+    ids, lens, starts = _batch(cfg, 2)
+    ids = ids % 64
+    labels = np.where(np.arange(ids.shape[1])[None] < lens[:, None], ids, -100)
+    # ignore the image placeholder span in the labels
+    for b in range(2):
+        labels[b, starts[b]: starts[b] + cfg.num_image_tokens] = -100
+    batch = {
+        "images": jax.random.uniform(jax.random.PRNGKey(1), (2, 128, 128, 3)),
+        "ids": jnp.asarray(ids),
+        "labels": jnp.asarray(labels),
+        "image_starts": jnp.asarray(starts),
+        "attn_lens": jnp.asarray(lens),
+    }
+    losses = []
+    for _ in range(5):
+        state, loss = train_step_mod.train_step(state, cfg, tx, batch)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses
+    assert np.isfinite(losses).all()
+
+
+def test_train_step_sharded_runs():
+    """Full train step under DP x TP mesh executes and returns finite loss."""
+    cfg = tiny_cfg(vocab=64)
+    params = vlm.init(jax.random.PRNGKey(0), cfg)
+    mesh = make_mesh(dp=2, tp=4)
+    params = sharding.shard_vlm(params, cfg, mesh)
+    tx = train_step_mod.make_optimizer(lr=1e-3)
+    state = train_step_mod.make_train_state(params, tx)
+
+    ids, lens, starts = _batch(cfg, 2)
+    ids = ids % 64
+    labels = np.where(np.arange(ids.shape[1])[None] < lens[:, None], ids, -100)
+    batch = {
+        "images": jax.device_put(
+            jax.random.uniform(jax.random.PRNGKey(1), (2, 128, 128, 3)),
+            data_sharding(mesh)),
+        "ids": jnp.asarray(ids),
+        "labels": jnp.asarray(labels),
+        "image_starts": jnp.asarray(starts),
+        "attn_lens": jnp.asarray(lens),
+    }
+    state, loss = train_step_mod.train_step(state, cfg, tx, batch)
+    assert np.isfinite(float(loss))
+
+
+def test_frozen_vision_unchanged_after_step():
+    cfg = tiny_cfg(vocab=64)
+    params = vlm.init(jax.random.PRNGKey(0), cfg)
+    tx = train_step_mod.make_optimizer(lr=1e-2, freeze_vision=True)
+    state = train_step_mod.make_train_state(params, tx)
+    before = jax.tree.map(np.asarray, state.params["vision"])
+
+    ids, lens, starts = _batch(cfg, 1)
+    ids = ids % 64
+    labels = np.where(np.arange(ids.shape[1])[None] < lens[:, None], ids, -100)
+    batch = {
+        "images": jax.random.uniform(jax.random.PRNGKey(1), (1, 128, 128, 3)),
+        "ids": jnp.asarray(ids), "labels": jnp.asarray(labels),
+        "image_starts": jnp.asarray(starts), "attn_lens": jnp.asarray(lens),
+    }
+    state, _ = train_step_mod.train_step(state, cfg, tx, batch)
+    after = jax.tree.map(np.asarray, state.params["vision"])
+    jax.tree.map(np.testing.assert_array_equal, before, after)
