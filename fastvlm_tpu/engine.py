@@ -1,0 +1,264 @@
+"""Inference engine: the host-side API wrapping the jitted TPU pipeline.
+
+Owns params/config/tokenizer, handles prompt construction, sentinel expansion,
+length bucketing (static shapes under jit), cache allocation, streaming
+chunked decode, stop strings, and per-stage timing. TTFT instrumentation is
+built in because TTFT *is* the headline metric (the reference only measures it
+in the iOS app, FastVLMModel.swift:114-139; here every request gets stage
+timers).
+
+Used by: predict CLI, serve/worker, bench, video QA loop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Dict, Iterator, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fastvlm_tpu.config import FastVLMConfig, resolve_dtype
+from fastvlm_tpu.data.constants import DEFAULT_IMAGE_TOKEN, QWEN_IM_END_ID
+from fastvlm_tpu.data.conversation import conv_templates
+from fastvlm_tpu.data.preprocessing import (
+    ImageProcessor, process_images, tokenizer_image_token)
+from fastvlm_tpu.models import vlm
+from fastvlm_tpu.ops.kv_cache import init_cache
+from fastvlm_tpu.ops.sampling import SamplingParams
+from fastvlm_tpu.ops.splice import expand_image_ids, pad_batch
+
+
+def _sync(x):
+    return np.asarray(x)  # axon block_until_ready returns early; fetch to sync
+
+
+@dataclasses.dataclass
+class RequestStats:
+    ttft_ms: float = 0.0
+    decode_tokens: int = 0
+    decode_ms: float = 0.0
+    prompt_tokens: int = 0
+
+    @property
+    def tok_per_s(self) -> float:
+        return self.decode_tokens / self.decode_ms * 1000 if self.decode_ms else 0.0
+
+    def as_dict(self) -> Dict[str, float]:
+        return {
+            "ttft_ms": round(self.ttft_ms, 2),
+            "decode_tokens": self.decode_tokens,
+            "tok_per_s": round(self.tok_per_s, 2),
+            "prompt_tokens": self.prompt_tokens,
+        }
+
+
+class Engine:
+    def __init__(
+        self,
+        cfg: FastVLMConfig,
+        params: Any,
+        tokenizer,
+        *,
+        conv_mode: str = "qwen_2",
+        bucket: int = 64,
+        chunk: int = 8,
+        eos_ids: Optional[Tuple[int, ...]] = None,
+    ):
+        self.cfg = cfg
+        self.params = params
+        self.tokenizer = tokenizer
+        self.conv_mode = conv_mode
+        self.bucket = bucket
+        self.chunk = chunk
+        self.processor = ImageProcessor(cfg.vision.image_size)
+        if eos_ids is None:
+            eos = {getattr(tokenizer, "eos_token_id", None)}
+            if hasattr(tokenizer, "convert_tokens_to_ids"):
+                eos.add(tokenizer.convert_tokens_to_ids("<|im_end|>"))
+            eos_ids = tuple(i for i in eos if i is not None and i >= 0)
+            if not eos_ids:
+                eos_ids = (QWEN_IM_END_ID,)
+        self.eos_ids = eos_ids
+        self._dtype = resolve_dtype(cfg.decoder.compute_dtype)
+
+    # ---------------- prompt/image preparation ----------------
+
+    def build_prompt(self, user_prompt: str, system: Optional[str] = None) -> str:
+        conv = conv_templates[self.conv_mode].copy()
+        if system is not None:
+            conv.system = system
+        conv.append_message(conv.roles[0], DEFAULT_IMAGE_TOKEN + "\n" + user_prompt)
+        conv.append_message(conv.roles[1], None)
+        return conv.get_prompt()
+
+    def prepare(self, prompt: str, image=None):
+        """prompt: full template string (may contain <image>); image: PIL or
+        NHWC array or None. Returns device-ready inputs."""
+        ids = tokenizer_image_token(prompt, self.tokenizer)
+        row, start = expand_image_ids(ids, self.cfg.num_image_tokens)
+        pad_to = -(-(len(row) + 1) // self.bucket) * self.bucket
+        ids_a, lens, starts = pad_batch([row], [start], pad_to)
+
+        images = None
+        if image is not None:
+            if hasattr(image, "convert"):  # PIL
+                images = jnp.asarray(
+                    process_images([image], self.processor, self.cfg),
+                    self._dtype)
+            else:
+                images = jnp.asarray(image, self._dtype)
+                if images.ndim == 3:
+                    images = images[None]
+        return images, jnp.asarray(ids_a), jnp.asarray(lens), jnp.asarray(starts)
+
+    # ---------------- generation ----------------
+
+    def stream(
+        self,
+        prompt: str,
+        image=None,
+        *,
+        max_new_tokens: Optional[int] = None,
+        sampling: SamplingParams = SamplingParams(),
+        stop_strings: Sequence[str] = (),
+        seed: Optional[int] = None,
+    ) -> Iterator[Dict[str, Any]]:
+        """Yields {"text": full_text_so_far, "stats": {...}} dicts.
+
+        Mirrors the worker's incremental protocol
+        (reference model_worker.py:122-193) with chunked on-device decode.
+        """
+        cfg = self.cfg
+        max_new = max_new_tokens or cfg.max_new_tokens
+        images, ids, lens, starts = self.prepare(prompt, image)
+        b, t = ids.shape
+        stats = RequestStats(prompt_tokens=int(_sync(lens)[0]))
+
+        cache = init_cache(
+            cfg.decoder.num_layers, b, t + max_new,
+            cfg.decoder.num_kv_heads, cfg.decoder.head_dim, self._dtype)
+
+        key = jax.random.PRNGKey(seed if seed is not None else (time.time_ns() % 2**31))
+
+        t0 = time.perf_counter()
+        logits, cache = self._prefill_jit(
+            self.params, images, ids, lens, starts, cache)
+        key, sub = jax.random.split(key)
+        from fastvlm_tpu.ops.sampling import sample
+        tok = sample(sub, logits, sampling)
+        first = int(_sync(tok)[0])
+        stats.ttft_ms = (time.perf_counter() - t0) * 1000
+
+        out_ids: List[int] = [] if first in self.eos_ids else [first]
+        done_host = first in self.eos_ids
+        done = jnp.asarray([done_host])
+        text = self._decode_text(out_ids)
+        yield {"text": text, "stats": stats.as_dict()}
+
+        t_dec = time.perf_counter()
+        emitted = 1
+        while not done_host and emitted < max_new:
+            k = min(self.chunk, max_new - emitted)
+            toks, done, tok, cache, key = vlm.decode_chunk(
+                self.params, cfg, tok, done, cache, key,
+                k=k, eos_ids=self.eos_ids, sampling=sampling)
+            host_toks = _sync(toks)[0]
+            emitted += k
+            for tk in host_toks:
+                tk = int(tk)
+                if tk in self.eos_ids:  # post-EOS slots are masked to 0 on device
+                    done_host = True
+                    break
+                out_ids.append(tk)
+            done_host = done_host or bool(_sync(done)[0])
+            stats.decode_tokens = len(out_ids)
+            stats.decode_ms = (time.perf_counter() - t_dec) * 1000
+            text = self._decode_text(out_ids)
+            for s in stop_strings:
+                if s and s in text:
+                    text = text.split(s)[0]
+                    done_host = True
+            yield {"text": text, "stats": stats.as_dict()}
+
+    def generate(self, prompt: str, image=None, **kw) -> Tuple[str, Dict[str, Any]]:
+        last = {"text": "", "stats": {}}
+        for last in self.stream(prompt, image, **kw):
+            pass
+        return last["text"], last["stats"]
+
+    def chat(self, user_prompt: str, image=None, **kw):
+        """Convenience: wraps user_prompt in the conversation template."""
+        return self.generate(self.build_prompt(user_prompt), image, **kw)
+
+    # ---------------- internals ----------------
+
+    def _decode_text(self, ids: List[int]) -> str:
+        if not ids:
+            return ""
+        return self.tokenizer.decode(ids, skip_special_tokens=True)
+
+    @property
+    def _prefill_jit(self):
+        if not hasattr(self, "_prefill_cached"):
+            cfg = self.cfg
+
+            @jax.jit
+            def f(params, images, ids, lens, starts, cache):
+                return vlm.prefill(params, cfg, images, ids, lens, starts, cache)
+
+            @jax.jit
+            def f_noimg(params, ids, lens, starts, cache):
+                return vlm.prefill(params, cfg, None, ids, lens, starts, cache)
+
+            self._prefill_cached = (f, f_noimg)
+
+        f, f_noimg = self._prefill_cached
+
+        def dispatch(params, images, ids, lens, starts, cache):
+            if images is None:
+                return f_noimg(params, ids, lens, starts, cache)
+            return f(params, images, ids, lens, starts, cache)
+
+        return dispatch
+
+
+def build_engine(model_path: Optional[str] = None, *, random_tiny: bool = False,
+                 dtype: str = "bfloat16", platform: Optional[str] = None,
+                 **engine_kw) -> Engine:
+    """Factory mirroring load_pretrained_model (reference model/builder.py:26):
+    checkpoint dir -> (tokenizer, model, processor) wrapped in an Engine.
+
+    ``platform``: force a jax backend ('cpu'/'axon'/'tpu'). Needed because the
+    axon plugin rewrites jax_platforms at import, ignoring JAX_PLATFORMS.
+    """
+    if platform:
+        jax.config.update("jax_platforms", platform)
+    if random_tiny:
+        from fastvlm_tpu.config import (
+            FastViTConfig, ProjectorConfig, Qwen2Config)
+        from fastvlm_tpu.data.preprocessing import ByteTokenizer
+
+        vision = FastViTConfig(layers=(1, 1, 1, 1, 1),
+                               embed_dims=(8, 16, 32, 64, 128),
+                               image_size=256, attn_head_dim=16)
+        decoder = Qwen2Config(vocab_size=258, hidden_size=64, num_layers=2,
+                              num_heads=4, num_kv_heads=2, head_dim=16,
+                              intermediate_size=128)
+        cfg = FastVLMConfig(
+            vision=vision, decoder=decoder,
+            projector=ProjectorConfig(mm_hidden_size=vision.out_channels,
+                                      hidden_size=64))
+        params = vlm.init(jax.random.PRNGKey(0), cfg)
+        tok = ByteTokenizer()
+        return Engine(cfg, params, tok, eos_ids=(tok.eos_token_id,), **engine_kw)
+
+    from transformers import AutoTokenizer
+
+    from fastvlm_tpu.utils.checkpoint import load_vlm
+
+    cfg, params = load_vlm(model_path, dtype=resolve_dtype(dtype))
+    tokenizer = AutoTokenizer.from_pretrained(model_path)
+    return Engine(cfg, params, tokenizer, **engine_kw)

@@ -106,6 +106,44 @@ def decode_step(
     return logits[:, 0], cache
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "k", "eos_ids", "sampling"))
+def decode_chunk(
+    params: Params,
+    cfg: FastVLMConfig,
+    last_tok: jnp.ndarray,   # (B,)
+    done: jnp.ndarray,       # (B,) bool
+    cache: KVCache,
+    key: jax.Array,
+    *,
+    k: int = 8,
+    eos_ids: Tuple[int, ...] = (151645,),
+    sampling: SamplingParams = SamplingParams(),
+):
+    """Decode k tokens in one device call (lax.scan) — the streaming unit.
+
+    Host-side streaming (serve/worker, CLI chat) calls this repeatedly: one
+    dispatch per k tokens keeps per-token host overhead at 1/k while still
+    yielding text incrementally (the reference streams per-token through HF
+    TextIteratorStreamer on a thread, model_worker.py:176-193).
+
+    Returns (tokens (B, k), done (B,), last_tok (B,), cache, key).
+    """
+    eos = jnp.asarray(eos_ids, jnp.int32)
+
+    def body(carry, _):
+        tok, done, cache, key = carry
+        logits, cache = decode_step(params, cfg, tok, cache)
+        key, sub = jax.random.split(key)
+        new = sample(sub, logits, sampling)
+        new = jnp.where(done, 0, new)
+        done = done | jnp.isin(new, eos)
+        return (new, done, cache, key), new
+
+    (tok, done, cache, key), toks = lax.scan(
+        body, (last_tok, done, cache, key), None, length=k)
+    return toks.T, done, tok, cache, key
+
+
 class GenerateResult(NamedTuple):
     tokens: jnp.ndarray        # (B, max_new_tokens) int32, pad after EOS
     num_generated: jnp.ndarray  # (B,) int32 (including the EOS token)

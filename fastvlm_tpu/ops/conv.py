@@ -25,6 +25,36 @@ def gelu(x):
     return jax.nn.gelu(x, approximate=False)
 
 
+# Depthwise strategy: 'xla' lowers to a grouped conv; 'shift' decomposes a
+# stride-1 depthwise conv into k*k shifted multiply-adds on the VPU (fuses
+# into neighbouring elementwise work and avoids XLA's grouped-conv path).
+_DW_STRATEGY = "xla"
+
+
+def set_depthwise_strategy(name: str) -> None:
+    global _DW_STRATEGY
+    assert name in ("xla", "shift")
+    _DW_STRATEGY = name
+
+
+def _dw_shift(x, w, b, padding):
+    k = w.shape[0]
+    h, w_ = x.shape[1], x.shape[2]
+    xp = jnp.pad(x, ((0, 0), padding[0], padding[1], (0, 0)))
+    acc = jnp.zeros(x.shape[:1] + (h + sum(padding[0]) - k + 1,
+                                   w_ + sum(padding[1]) - k + 1, x.shape[3]),
+                    jnp.float32)
+    oh, ow = acc.shape[1], acc.shape[2]
+    wf = w.astype(jnp.float32)
+    for di in range(k):
+        for dj in range(k):
+            acc = acc + xp[:, di:di + oh, dj:dj + ow, :].astype(jnp.float32) \
+                * wf[di, dj, 0, :]
+    if b is not None:
+        acc = acc + b.astype(jnp.float32)
+    return acc.astype(x.dtype)
+
+
 def conv2d(x, w, b=None, *, stride=1, padding=None, groups=1):
     """NHWC conv. ``w`` is HWIO with I = C_in // groups.
 
@@ -37,6 +67,13 @@ def conv2d(x, w, b=None, *, stride=1, padding=None, groups=1):
         padding = [(padding, padding), (padding, padding)]
     if isinstance(stride, int):
         stride = (stride, stride)
+
+    depthwise_identity = (
+        groups == x.shape[-1] and groups == w.shape[-1] and w.shape[2] == 1
+    )
+    if _DW_STRATEGY == "shift" and depthwise_identity and stride == (1, 1):
+        return _dw_shift(x, w, b, padding)
+
     out = lax.conv_general_dilated(
         x,
         w.astype(x.dtype),

