@@ -1,0 +1,254 @@
+"""Supervised fine-tuning data pipeline: conversations -> (ids, labels).
+
+Covers what the reference does in llava/train/train_qwen.py:
+  * qwen_2 / plain target masking (preprocess_qwen_2 at :527-635,
+    preprocess_plain at :284-310): instruction spans and role headers get
+    IGNORE_INDEX; only assistant replies (+ their <|im_end|> separators) are
+    learning targets.
+  * LazySupervisedDataset (:891-991): multi-JSON datasets with per-entry image
+    folders, ``lengths``/``modality_lengths`` for samplers, dummy zero image
+    for text-only samples in multimodal runs, error fallback to sample 0.
+  * collator (:994-1026): pad ids/labels, stack images.
+
+Design difference: masking is *span-constructed* — each turn is tokenized
+separately and its label span assigned directly — instead of the reference's
+tokenize-everything-then-recount-round-lengths approach, which needs a
+mismatch guard (train_qwen.py:624-630). ChatML role markers are special
+tokens in the Qwen2 vocab, so per-span tokenization concatenates losslessly;
+a self-check in tests compares against whole-string tokenization.
+"""
+
+from __future__ import annotations
+
+import copy
+import json
+import logging
+import os
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from fastvlm_tpu.data.constants import (
+    DEFAULT_IMAGE_TOKEN, IGNORE_INDEX, IMAGE_TOKEN_INDEX)
+from fastvlm_tpu.data.preprocessing import tokenizer_image_token
+
+logger = logging.getLogger(__name__)
+
+QWEN_SYSTEM = "<|im_start|>system\nYou are a helpful assistant."
+QWEN_SEP = "<|im_end|>\n"
+QWEN_USER = "<|im_start|>user\n"
+QWEN_ASSISTANT = "<|im_start|>assistant\n"
+
+
+def _tok(tokenizer, text: str) -> List[int]:
+    """Tokenize one span, routing <image> through the sentinel splicer."""
+    if DEFAULT_IMAGE_TOKEN in text:
+        return tokenizer_image_token(text, tokenizer)
+    return list(tokenizer(text).input_ids)
+
+
+def preprocess_qwen_2(
+    conversations: Sequence[Dict[str, str]],
+    tokenizer,
+    *,
+    max_len: Optional[int] = None,
+) -> Tuple[List[int], List[int]]:
+    """ChatML rounds -> (input_ids, labels) with instruction masking.
+
+    conversations: [{"from": "human"|"gpt", "value": str}, ...]
+    """
+    ids: List[int] = []
+    labels: List[int] = []
+
+    def add(span_ids: List[int], is_target: bool):
+        ids.extend(span_ids)
+        labels.extend(span_ids if is_target else [IGNORE_INDEX] * len(span_ids))
+
+    add(_tok(tokenizer, QWEN_SYSTEM + QWEN_SEP), False)
+    for turn in conversations:
+        who = turn["from"]
+        msg = turn["value"]
+        if who == "human":
+            add(_tok(tokenizer, QWEN_USER + msg + QWEN_SEP), False)
+        elif who == "gpt":
+            add(_tok(tokenizer, QWEN_ASSISTANT), False)
+            add(_tok(tokenizer, msg + QWEN_SEP), True)
+        else:  # system override or unknown: mask
+            add(_tok(tokenizer, msg), False)
+
+    if max_len is not None:
+        ids, labels = ids[:max_len], labels[:max_len]
+    return ids, labels
+
+
+def preprocess_plain(
+    conversations: Sequence[Dict[str, str]],
+    tokenizer,
+) -> Tuple[List[int], List[int]]:
+    """Stage-1 pretraining pairs (reference train_qwen.py:284-310): the image
+    sentinel alone as the prompt, the caption as the target."""
+    assert len(conversations) == 2
+    source = DEFAULT_IMAGE_TOKEN
+    target = conversations[1]["value"] + "\n"
+    src_ids = _tok(tokenizer, source)
+    tgt_ids = _tok(tokenizer, target)
+    ids = src_ids + tgt_ids
+    labels = [IGNORE_INDEX] * len(src_ids) + tgt_ids
+    return ids, labels
+
+
+PREPROCESSORS = {
+    "qwen_2": preprocess_qwen_2,
+    "plain": preprocess_plain,
+}
+
+
+# ---------------------------------------------------------------------------
+# dataset
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class DataArguments:
+    data_path: str = ""
+    image_folder: Optional[str] = None
+    image_aspect_ratio: str = "pad"
+    is_multimodal: bool = True
+    conv_version: str = "qwen_2"
+    max_len: int = 2048
+
+
+class SupervisedDataset:
+    """Lazy LLaVA-format dataset (list of {id, image?, conversations}).
+
+    data_path may be one JSON file or a comma-separated list; entries of a
+    multi-dataset run can carry their own image roots via ``dataset_name``
+    keys (reference train_qwen.py:894-907 uses a parallel image-folder list).
+    """
+
+    def __init__(self, data_args: DataArguments, tokenizer, image_processor=None):
+        self.args = data_args
+        self.tokenizer = tokenizer
+        self.image_processor = image_processor
+        self.records: List[Dict[str, Any]] = []
+        paths = [p for p in data_args.data_path.split(",") if p]
+        folders = (data_args.image_folder or "").split(",")
+        for i, p in enumerate(paths):
+            with open(p) as f:
+                items = json.load(f)
+            folder = folders[i] if i < len(folders) else (folders[0] if folders[0] else None)
+            for it in items:
+                it["_image_folder"] = folder
+            self.records.extend(items)
+        self.preprocess = PREPROCESSORS[data_args.conv_version]
+
+    def __len__(self) -> int:
+        return len(self.records)
+
+    @property
+    def lengths(self) -> List[int]:
+        """Approximate sample lengths for the sampler
+        (reference train_qwen.py:912-918)."""
+        out = []
+        for r in self.records:
+            img_tokens = 128 if "image" in r else 0
+            n_words = sum(len(t["value"].split()) for t in r["conversations"])
+            out.append(n_words + img_tokens)
+        return out
+
+    @property
+    def modality_lengths(self) -> List[int]:
+        """Sign encodes modality: positive = has image, negative = text-only
+        (reference train_qwen.py:920-927)."""
+        out = []
+        for r in self.records:
+            n_words = sum(len(t["value"].split()) for t in r["conversations"])
+            out.append(n_words if "image" in r else -n_words)
+        return out
+
+    def _load_image(self, record) -> Optional[np.ndarray]:
+        from PIL import Image
+
+        from fastvlm_tpu.data.preprocessing import expand2square
+
+        if "image" not in record:
+            if self.args.is_multimodal and self.image_processor is not None:
+                # dummy zero image for text-only samples in multimodal runs
+                # (reference train_qwen.py:978-982)
+                s = self.image_processor.image_size
+                return np.zeros((s, s, 3), np.float32)
+            return None
+        path = record["image"]
+        if record.get("_image_folder"):
+            path = os.path.join(record["_image_folder"], path)
+        image = Image.open(path).convert("RGB")
+        if self.args.image_aspect_ratio == "pad":
+            bg = tuple(int(x * 255) for x in self.image_processor.image_mean)
+            image = expand2square(image, bg)
+        return self.image_processor.preprocess(image)
+
+    def __getitem__(self, idx: int) -> Dict[str, Any]:
+        try:
+            return self._get(idx)
+        except Exception:
+            # error fallback to sample 0 (reference train_qwen.py:985-991)
+            logger.exception("failed to load sample %d; falling back to 0", idx)
+            return self._get(0)
+
+    def _get(self, idx: int) -> Dict[str, Any]:
+        record = self.records[idx]
+        ids, labels = self.preprocess(
+            record["conversations"], self.tokenizer)
+        if self.args.max_len:
+            ids, labels = ids[: self.args.max_len], labels[: self.args.max_len]
+        image = self._load_image(record)
+        has_image = "image" in record
+        if not has_image and IMAGE_TOKEN_INDEX in ids:
+            raise ValueError(f"sample {idx} has <image> token but no image")
+        return {"ids": ids, "labels": labels, "image": image,
+                "has_image": has_image}
+
+
+def collate(
+    samples: List[Dict[str, Any]],
+    num_image_tokens: int,
+    *,
+    pad_to_multiple: int = 64,
+    pad_id: int = 0,
+) -> Dict[str, np.ndarray]:
+    """Batch: expand image sentinels to static slots (labels -100 there),
+    right-pad to a bucket, stack images. Output feeds train.step.loss_fn."""
+    from fastvlm_tpu.ops.splice import expand_image_ids
+
+    rows, label_rows, starts, images = [], [], [], []
+    for s in samples:
+        row, start = expand_image_ids(s["ids"], num_image_tokens, pad_id=pad_id)
+        lab = list(s["labels"])
+        if start >= 0:
+            lab = lab[:start] + [IGNORE_INDEX] * num_image_tokens + lab[start + 1:]
+        rows.append(np.asarray(row, np.int32))
+        label_rows.append(np.asarray(lab, np.int32))
+        starts.append(start)
+        images.append(s["image"])
+
+    max_len = max(len(r) for r in rows)
+    bucket = -(-max_len // pad_to_multiple) * pad_to_multiple
+    b = len(rows)
+    ids = np.full((b, bucket), pad_id, np.int32)
+    labels = np.full((b, bucket), IGNORE_INDEX, np.int32)
+    lens = np.zeros((b,), np.int32)
+    for i, (r, l) in enumerate(zip(rows, label_rows)):
+        ids[i, : len(r)] = r
+        labels[i, : len(l)] = l
+        lens[i] = len(r)
+
+    batch = {
+        "ids": ids,
+        "labels": labels,
+        "image_starts": np.asarray(starts, np.int32),
+        "attn_lens": lens,
+    }
+    if any(im is not None for im in images):
+        batch["images"] = np.stack([im for im in images])
+    return batch

@@ -1,0 +1,130 @@
+"""SFT training driver CLI — the TPU equivalent of the reference's
+llava/train/train_qwen.py ``train()``.
+
+Wires: checkpoint/config load (or random init for dry runs) -> dataset ->
+freeze policy -> mesh sharding -> Trainer loop with Orbax save/resume.
+
+Example:
+  python -m fastvlm_tpu.train.train_sft \
+      --model-path ckpts/llava-fastvithd_0.5b_stage2 \
+      --data-path data/sft.json --image-folder data/images \
+      --output-dir ckpts/run1 --batch-size 8 --tp 1
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    # model
+    parser.add_argument("--model-path", default=None)
+    parser.add_argument("--random-tiny", action="store_true",
+                        help="random tiny model (pipeline dry runs)")
+    parser.add_argument("--dtype", default="float32")
+    # data
+    parser.add_argument("--data-path", required=True)
+    parser.add_argument("--image-folder", default=None)
+    parser.add_argument("--image-aspect-ratio", default="pad")
+    parser.add_argument("--conv-version", default="qwen_2")
+    parser.add_argument("--max-len", type=int, default=2048)
+    # training
+    parser.add_argument("--output-dir", default="./checkpoints/run")
+    parser.add_argument("--num-epochs", type=int, default=1)
+    parser.add_argument("--batch-size", type=int, default=4)
+    parser.add_argument("--learning-rate", type=float, default=2e-5)
+    parser.add_argument("--warmup-ratio", type=float, default=0.03)
+    parser.add_argument("--save-steps", type=int, default=500)
+    parser.add_argument("--log-steps", type=int, default=10)
+    parser.add_argument("--max-steps", type=int, default=None)
+    parser.add_argument("--group-by-modality-length", action="store_true")
+    parser.add_argument("--tune-mm-mlp-adapter", action="store_true")
+    parser.add_argument("--freeze-mm-mlp-adapter", action="store_true")
+    parser.add_argument("--unfreeze-mm-vision-tower", action="store_true")
+    parser.add_argument("--mm-projector-lr", type=float, default=None)
+    parser.add_argument("--mm-vision-tower-lr", type=float, default=None)
+    # parallelism
+    parser.add_argument("--tp", type=int, default=1)
+    parser.add_argument("--platform", default=None)
+    args = parser.parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    from fastvlm_tpu.data.preprocessing import ByteTokenizer, ImageProcessor
+    from fastvlm_tpu.data.sft import DataArguments, SupervisedDataset
+    from fastvlm_tpu.models import vlm
+    from fastvlm_tpu.parallel import make_mesh, sharding
+    from fastvlm_tpu.train.trainer import Trainer, TrainingArguments
+
+    if args.random_tiny:
+        from fastvlm_tpu.config import (
+            FastViTConfig, FastVLMConfig, ProjectorConfig, Qwen2Config)
+
+        vision = FastViTConfig(layers=(1, 1, 1, 1, 1),
+                               embed_dims=(8, 16, 32, 64, 128),
+                               image_size=128, attn_head_dim=16)
+        decoder = Qwen2Config(vocab_size=258, hidden_size=64, num_layers=2,
+                              num_heads=4, num_kv_heads=2, head_dim=16,
+                              intermediate_size=128)
+        cfg = FastVLMConfig(
+            vision=vision, decoder=decoder,
+            projector=ProjectorConfig(mm_hidden_size=vision.out_channels,
+                                      hidden_size=64),
+            image_aspect_ratio=args.image_aspect_ratio)
+        params = vlm.init(jax.random.PRNGKey(0), cfg)
+        tokenizer = ByteTokenizer()
+    else:
+        from transformers import AutoTokenizer
+
+        from fastvlm_tpu.config import resolve_dtype
+        from fastvlm_tpu.utils.checkpoint import load_vlm
+
+        cfg, params = load_vlm(args.model_path,
+                               dtype=resolve_dtype(args.dtype))
+        tokenizer = AutoTokenizer.from_pretrained(args.model_path)
+
+    mesh = None
+    if args.tp > 1 or len(jax.devices()) > 1:
+        mesh = make_mesh(tp=args.tp)
+        params = sharding.shard_vlm(params, cfg, mesh)
+
+    data_args = DataArguments(
+        data_path=args.data_path,
+        image_folder=args.image_folder,
+        image_aspect_ratio=args.image_aspect_ratio,
+        conv_version=args.conv_version,
+        max_len=args.max_len,
+    )
+    dataset = SupervisedDataset(
+        data_args, tokenizer, ImageProcessor(cfg.vision.image_size))
+
+    train_args = TrainingArguments(
+        output_dir=args.output_dir,
+        num_epochs=args.num_epochs,
+        batch_size=args.batch_size,
+        learning_rate=args.learning_rate,
+        warmup_ratio=args.warmup_ratio,
+        save_steps=args.save_steps,
+        log_steps=args.log_steps,
+        max_steps=args.max_steps,
+        group_by_modality_length=args.group_by_modality_length,
+        tune_mm_mlp_adapter=args.tune_mm_mlp_adapter,
+        freeze_mm_mlp_adapter=args.freeze_mm_mlp_adapter,
+        unfreeze_mm_vision_tower=args.unfreeze_mm_vision_tower,
+        mm_projector_lr=args.mm_projector_lr,
+        mm_vision_tower_lr=args.mm_vision_tower_lr,
+    )
+    trainer = Trainer(cfg, params, dataset, train_args, mesh=mesh)
+    result = trainer.train()
+    print(result)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

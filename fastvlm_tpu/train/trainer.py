@@ -1,0 +1,191 @@
+"""Training loop: dataloading, sharded steps, Orbax checkpointing, resume.
+
+The TPU-native replacement for the reference's HF Trainer + DeepSpeed stack
+(llava/train/llava_trainer.py, train_qwen.py): same observable behaviors —
+length/modality-grouped sampling, per-module LRs + freeze policy (in
+train/step.py), auto-resume from the latest checkpoint (train_qwen.py:
+1224-1227), adapter-only checkpoints when tuning just the projector
+(llava_trainer.py:244-265) — but sharding comes from the (data, model) mesh
++ NamedShardings instead of ZeRO/FSDP, and checkpoints are Orbax (sharded,
+async-capable) instead of torch.save.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+import time
+from dataclasses import dataclass
+from typing import Any, Dict, Iterator, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fastvlm_tpu.config import FastVLMConfig
+from fastvlm_tpu.data.sft import SupervisedDataset, collate
+from fastvlm_tpu.train import step as step_mod
+from fastvlm_tpu.train.sampler import LengthGroupedSampler
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class TrainingArguments:
+    output_dir: str = "./checkpoints/run"
+    num_epochs: int = 1
+    batch_size: int = 4
+    learning_rate: float = 2e-5
+    weight_decay: float = 0.0
+    warmup_ratio: float = 0.03
+    save_steps: int = 500
+    log_steps: int = 10
+    seed: int = 0
+    group_by_modality_length: bool = False
+    tune_mm_mlp_adapter: bool = False   # adapter-only training + checkpoints
+    freeze_mm_mlp_adapter: bool = False
+    unfreeze_mm_vision_tower: bool = False
+    mm_projector_lr: Optional[float] = None
+    mm_vision_tower_lr: Optional[float] = None
+    grad_clip: float = 1.0
+    max_steps: Optional[int] = None
+
+
+def batches(dataset: SupervisedDataset, sampler: LengthGroupedSampler,
+            batch_size: int, num_image_tokens: int) -> Iterator[Dict[str, np.ndarray]]:
+    buf: List[Any] = []
+    for idx in sampler:
+        buf.append(dataset[idx])
+        if len(buf) == batch_size:
+            yield collate(buf, num_image_tokens)
+            buf = []
+    # drop ragged tail (static shapes)
+
+
+class Trainer:
+    def __init__(self, cfg: FastVLMConfig, params: Any,
+                 dataset: SupervisedDataset, args: TrainingArguments,
+                 mesh=None):
+        self.cfg = cfg
+        self.args = args
+        self.dataset = dataset
+        self.mesh = mesh
+
+        steps_per_epoch = len(dataset) // args.batch_size
+        total = args.max_steps or max(steps_per_epoch * args.num_epochs, 1)
+        self.total_steps = total
+
+        self.tx = step_mod.make_optimizer(
+            args.learning_rate,
+            weight_decay=args.weight_decay,
+            warmup_steps=int(args.warmup_ratio * total),
+            total_steps=total,
+            projector_lr=args.mm_projector_lr,
+            vision_lr=args.mm_vision_tower_lr,
+            freeze_vision=not args.unfreeze_mm_vision_tower,
+            freeze_decoder=args.tune_mm_mlp_adapter,
+            grad_clip=args.grad_clip,
+        )
+        if args.freeze_mm_mlp_adapter:
+            # freeze adapter: re-route projector grads to zero
+            import optax
+
+            self.tx = step_mod.make_optimizer(
+                args.learning_rate, weight_decay=args.weight_decay,
+                warmup_steps=int(args.warmup_ratio * total), total_steps=total,
+                freeze_vision=not args.unfreeze_mm_vision_tower,
+                freeze_decoder=args.tune_mm_mlp_adapter,
+                grad_clip=args.grad_clip,
+                projector_lr=0.0,
+            )
+        self.state = step_mod.make_train_state(params, self.tx)
+        self.sampler = LengthGroupedSampler(
+            dataset.modality_lengths if args.group_by_modality_length
+            else dataset.lengths,
+            args.batch_size,
+            group_by_modality=args.group_by_modality_length,
+            seed=args.seed,
+        )
+
+    # ---------------- checkpointing ----------------
+
+    def _ckpt_dir(self, step: int) -> str:
+        return os.path.join(os.path.abspath(self.args.output_dir),
+                            f"checkpoint-{step}")
+
+    def latest_checkpoint(self) -> Optional[str]:
+        out = os.path.abspath(self.args.output_dir)
+        if not os.path.isdir(out):
+            return None
+        steps = []
+        for d in os.listdir(out):
+            if d.startswith("checkpoint-") and d[11:].isdigit():
+                steps.append(int(d[11:]))
+        return self._ckpt_dir(max(steps)) if steps else None
+
+    def save(self, step: int) -> None:
+        import orbax.checkpoint as ocp
+
+        path = self._ckpt_dir(step)
+        if self.args.tune_mm_mlp_adapter:
+            # adapter-only checkpoint (reference llava_trainer.py:244-265)
+            with ocp.StandardCheckpointer() as ck:
+                ck.save(os.path.join(path, "mm_projector"),
+                        self.state.params["projector"], force=True)
+        else:
+            with ocp.StandardCheckpointer() as ck:
+                ck.save(os.path.join(path, "params"), self.state.params,
+                        force=True)
+        logger.info("saved checkpoint %s", path)
+
+    def resume(self) -> int:
+        """Auto-resume from latest checkpoint-* (reference train_qwen.py:1224-1227)."""
+        import orbax.checkpoint as ocp
+
+        path = self.latest_checkpoint()
+        if path is None:
+            return 0
+        step = int(os.path.basename(path).split("-")[1])
+        with ocp.StandardCheckpointer() as ck:
+            if self.args.tune_mm_mlp_adapter:
+                proj = ck.restore(os.path.join(path, "mm_projector"),
+                                  self.state.params["projector"])
+                params = dict(self.state.params)
+                params["projector"] = proj
+            else:
+                params = ck.restore(os.path.join(path, "params"),
+                                    self.state.params)
+        self.state = self.state._replace(params=params,
+                                         step=jnp.int32(step))
+        logger.info("resumed from %s (step %d)", path, step)
+        return step
+
+    # ---------------- loop ----------------
+
+    def train(self) -> Dict[str, float]:
+        args = self.args
+        start_step = self.resume()
+        step = start_step
+        losses: List[float] = []
+        t0 = time.time()
+        for epoch in range(args.num_epochs):
+            for batch in batches(self.dataset, self.sampler, args.batch_size,
+                                 self.cfg.num_image_tokens):
+                if step >= self.total_steps:
+                    break
+                jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+                self.state, loss = step_mod.train_step(
+                    self.state, self.cfg, self.tx, jbatch)
+                step += 1
+                if step % args.log_steps == 0 or step == self.total_steps:
+                    l = float(np.asarray(loss))
+                    losses.append(l)
+                    logger.info("step %d/%d loss %.4f (%.2f s/step)",
+                                step, self.total_steps, l,
+                                (time.time() - t0) / max(step - start_step, 1))
+                if args.save_steps and step % args.save_steps == 0:
+                    self.save(step)
+        self.save(step)
+        return {"final_loss": losses[-1] if losses else float("nan"),
+                "steps": step}

@@ -1,0 +1,148 @@
+"""SFT data pipeline tests: target masking, dataset loading, collation,
+sampler grouping (SURVEY.md §4; reference behaviors from train_qwen.py)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from fastvlm_tpu.data.constants import IGNORE_INDEX, IMAGE_TOKEN_INDEX
+from fastvlm_tpu.data.preprocessing import ByteTokenizer
+from fastvlm_tpu.data.sft import (
+    DataArguments, SupervisedDataset, collate, preprocess_plain,
+    preprocess_qwen_2)
+from fastvlm_tpu.train.sampler import (
+    LengthGroupedSampler, get_modality_length_grouped_indices)
+
+
+TOK = ByteTokenizer()
+
+
+def test_qwen2_masking_only_assistant_is_target():
+    convs = [
+        {"from": "human", "value": "<image>\nWhat is this?"},
+        {"from": "gpt", "value": "A cat."},
+        {"from": "human", "value": "Color?"},
+        {"from": "gpt", "value": "Black."},
+    ]
+    ids, labels = preprocess_qwen_2(convs, TOK)
+    assert len(ids) == len(labels)
+    # every target position matches its input id
+    for i, l in zip(ids, labels):
+        assert l == IGNORE_INDEX or l == i
+    # the target text is exactly the assistant replies + separators
+    target_ids = [l for l in labels if l != IGNORE_INDEX]
+    text = TOK.decode(target_ids)
+    assert "A cat." in text and "Black." in text
+    assert "What is this?" not in text and "Color?" not in text
+    # image sentinel present exactly once and masked
+    assert ids.count(IMAGE_TOKEN_INDEX) == 1
+    assert labels[ids.index(IMAGE_TOKEN_INDEX)] == IGNORE_INDEX
+
+
+def test_qwen2_span_tokenization_matches_whole_string():
+    """Span-wise tokenization must concatenate to the same ids as tokenizing
+    the full rendered conversation (the reference's approach)."""
+    from fastvlm_tpu.data.conversation import conv_templates
+    from fastvlm_tpu.data.preprocessing import tokenizer_image_token
+
+    convs = [
+        {"from": "human", "value": "hello"},
+        {"from": "gpt", "value": "world"},
+    ]
+    ids, _ = preprocess_qwen_2(convs, TOK)
+    conv = conv_templates["qwen_2"].copy()
+    conv.append_message(conv.roles[0], "hello")
+    conv.append_message(conv.roles[1], "world")
+    whole = tokenizer_image_token(conv.get_prompt(), TOK)
+    assert ids == whole
+
+
+def test_preprocess_plain():
+    convs = [
+        {"from": "human", "value": "<image>"},
+        {"from": "gpt", "value": "a photo of a dog"},
+    ]
+    ids, labels = preprocess_plain(convs, TOK)
+    assert ids[0] == IMAGE_TOKEN_INDEX
+    assert labels[0] == IGNORE_INDEX
+    assert TOK.decode([l for l in labels if l != IGNORE_INDEX]).startswith(
+        "a photo of a dog")
+
+
+@pytest.fixture
+def dataset_dir(tmp_path):
+    from PIL import Image
+
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    Image.new("RGB", (80, 50), (120, 30, 200)).save(img_dir / "a.jpg")
+    data = [
+        {"id": "0", "image": "a.jpg", "conversations": [
+            {"from": "human", "value": "<image>\nDescribe."},
+            {"from": "gpt", "value": "A purple rectangle."}]},
+        {"id": "1", "conversations": [
+            {"from": "human", "value": "Hi"},
+            {"from": "gpt", "value": "Hello!"}]},
+        {"id": "2", "image": "missing.jpg", "conversations": [
+            {"from": "human", "value": "<image>\nX"},
+            {"from": "gpt", "value": "Y"}]},
+    ]
+    p = tmp_path / "data.json"
+    p.write_text(json.dumps(data))
+    return str(p), str(img_dir)
+
+
+def test_dataset_and_collate(dataset_dir):
+    from fastvlm_tpu.data.preprocessing import ImageProcessor
+
+    data_path, image_folder = dataset_dir
+    ds = SupervisedDataset(
+        DataArguments(data_path=data_path, image_folder=image_folder),
+        TOK, ImageProcessor(64))
+    assert len(ds) == 3
+    # modality lengths: image samples positive, text-only negative
+    ml = ds.modality_lengths
+    assert ml[0] > 0 and ml[1] < 0
+
+    s0 = ds[0]
+    assert s0["image"].shape == (64, 64, 3)
+    assert s0["has_image"]
+    s1 = ds[1]
+    assert not s1["has_image"]
+    assert s1["image"].shape == (64, 64, 3)  # dummy zero image
+    assert np.all(s1["image"] == 0)
+    # broken image falls back to sample 0
+    s2 = ds[2]
+    assert s2["ids"] == s0["ids"]
+
+    batch = collate([s0, s1], num_image_tokens=4, pad_to_multiple=16)
+    assert batch["ids"].shape == batch["labels"].shape
+    assert batch["ids"].shape[1] % 16 == 0
+    assert batch["image_starts"][0] >= 0 and batch["image_starts"][1] == -1
+    assert batch["images"].shape[0] == 2
+    # image span in labels is ignored
+    st = batch["image_starts"][0]
+    assert np.all(batch["labels"][0, st:st + 4] == IGNORE_INDEX)
+    # padding labels ignored
+    assert np.all(batch["labels"][0, batch["attn_lens"][0]:] == IGNORE_INDEX)
+
+
+def test_modality_grouped_sampler():
+    rng_lengths = [10, -5, 20, -8, 30, -2, 15, -9]
+    sampler = LengthGroupedSampler(rng_lengths, batch_size=2,
+                                   group_by_modality=True, seed=1)
+    idx = list(sampler)
+    assert sorted(idx) == list(range(8))
+    # within each megabatch of 2, indices share modality
+    for i in range(0, 8, 2):
+        a, b = rng_lengths[idx[i]], rng_lengths[idx[i + 1]]
+        assert (a > 0) == (b > 0), (idx, i)
+
+
+def test_sampler_epoch_reshuffles():
+    sampler = LengthGroupedSampler(list(range(1, 33)), batch_size=4, seed=0)
+    e1, e2 = list(sampler), list(sampler)
+    assert sorted(e1) == sorted(e2)
+    assert e1 != e2
