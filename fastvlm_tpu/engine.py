@@ -96,14 +96,38 @@ class Engine:
 
     def prepare(self, prompt: str, image=None):
         """prompt: full template string (may contain <image>); image: PIL or
-        NHWC array or None. Returns device-ready inputs."""
-        ids = tokenizer_image_token(prompt, self.tokenizer)
-        row, start = expand_image_ids(ids, self.cfg.num_image_tokens)
-        pad_to = -(-(len(row) + 1) // self.bucket) * self.bucket
-        ids_a, lens, starts = pad_batch([row], [start], pad_to)
+        NHWC array or None. Returns (inputs dict) ready for prefill.
+
+        anyres mode (cfg.image_aspect_ratio == 'anyres' with grid pinpoints):
+        the image becomes [global view + tiles]; the sentinel expands to the
+        merged token count (grid-shape dependent), and the tower output is
+        merged per cfg.mm_patch_merge_type before splicing."""
+        cfg = self.cfg
+        anyres_mode = (cfg.image_aspect_ratio == "anyres"
+                       and cfg.image_grid_pinpoints
+                       and image is not None and hasattr(image, "convert"))
 
         images = None
-        if image is not None:
+        vision_embeds = None
+        n_img_tokens = cfg.num_image_tokens
+        if anyres_mode:
+            from fastvlm_tpu.data.preprocessing import (
+                process_anyres_image, select_best_resolution)
+            from fastvlm_tpu.ops.anyres import num_merged_tokens
+
+            s = cfg.vision.image_size
+            best = select_best_resolution(image.size,
+                                          list(cfg.image_grid_pinpoints))
+            tiles = process_anyres_image(image, self.processor,
+                                         cfg.image_grid_pinpoints)
+            grid_shape = (best[0] // s, best[1] // s)
+            n_img_tokens = num_merged_tokens(
+                grid_shape, cfg.vision.grid_size, cfg.mm_patch_merge_type,
+                image.size)
+            vision_embeds = self._encode_tiles_jit(
+                jnp.asarray(tiles, self._dtype), grid_shape,
+                tuple(image.size))
+        elif image is not None:
             if hasattr(image, "convert"):  # PIL
                 images = jnp.asarray(
                     process_images([image], self.processor, self.cfg),
@@ -112,7 +136,29 @@ class Engine:
                 images = jnp.asarray(image, self._dtype)
                 if images.ndim == 3:
                     images = images[None]
-        return images, jnp.asarray(ids_a), jnp.asarray(lens), jnp.asarray(starts)
+
+        ids = tokenizer_image_token(prompt, self.tokenizer)
+        row, start = expand_image_ids(ids, n_img_tokens)
+        pad_to = -(-(len(row) + 1) // self.bucket) * self.bucket
+        ids_a, lens, starts = pad_batch([row], [start], pad_to)
+        return {
+            "images": images,
+            "vision_embeds": vision_embeds,
+            "ids": jnp.asarray(ids_a),
+            "lens": jnp.asarray(lens),
+            "starts": jnp.asarray(starts),
+        }
+
+    def _encode_tiles_jit(self, tiles, grid_shape, original_size):
+        import functools
+
+        cfg = self.cfg
+
+        @functools.partial(jax.jit, static_argnames=("grid_shape", "orig"))
+        def f(params, tiles, grid_shape, orig):
+            return vlm.encode_tiles(params, cfg, tiles, grid_shape, orig)
+
+        return f(self.params, tiles, grid_shape, original_size)
 
     # ---------------- generation ----------------
 
@@ -133,7 +179,8 @@ class Engine:
         """
         cfg = self.cfg
         max_new = max_new_tokens or cfg.max_new_tokens
-        images, ids, lens, starts = self.prepare(prompt, image)
+        inputs = self.prepare(prompt, image)
+        ids, lens, starts = inputs["ids"], inputs["lens"], inputs["starts"]
         b, t = ids.shape
         stats = RequestStats(prompt_tokens=int(_sync(lens)[0]))
 
@@ -145,7 +192,8 @@ class Engine:
 
         t0 = time.perf_counter()
         logits, cache = self._prefill_jit(
-            self.params, images, ids, lens, starts, cache)
+            self.params, inputs["images"], ids, lens, starts, cache,
+            inputs["vision_embeds"])
         key, sub = jax.random.split(key)
         from fastvlm_tpu.ops.sampling import sample
         tok = sample(sub, logits, sampling)
@@ -213,11 +261,18 @@ class Engine:
             def f_noimg(params, ids, lens, starts, cache):
                 return vlm.prefill(params, cfg, None, ids, lens, starts, cache)
 
-            self._prefill_cached = (f, f_noimg)
+            @jax.jit
+            def f_embeds(params, vis, ids, lens, starts, cache):
+                return vlm.prefill(params, cfg, None, ids, lens, starts, cache,
+                                   vision_embeds=vis)
 
-        f, f_noimg = self._prefill_cached
+            self._prefill_cached = (f, f_noimg, f_embeds)
 
-        def dispatch(params, images, ids, lens, starts, cache):
+        f, f_noimg, f_embeds = self._prefill_cached
+
+        def dispatch(params, images, ids, lens, starts, cache, vis=None):
+            if vis is not None:
+                return f_embeds(params, vis, ids, lens, starts, cache)
             if images is None:
                 return f_noimg(params, ids, lens, starts, cache)
             return f(params, images, ids, lens, starts, cache)

@@ -33,12 +33,19 @@ Params = Dict[str, Any]
 
 
 def init(key, cfg: FastVLMConfig) -> Params:
-    kv, kp, kd = jax.random.split(key, 3)
-    return {
+    kv, kp, kd, kn = jax.random.split(key, 4)
+    params = {
         "vision": fastvit.init(kv, cfg.vision),
         "projector": projector.init(kp, cfg.projector),
         "decoder": qwen2.init(kd, cfg.decoder),
     }
+    if "unpad" in cfg.mm_patch_merge_type:
+        # row separator embedding (reference llava_arch.py:39-47)
+        d = cfg.decoder.hidden_size
+        params["image_newline"] = (
+            jax.random.normal(kn, (d,)) / (d ** 0.5)
+        ).astype(resolve_dtype(cfg.decoder.param_dtype))
+    return params
 
 
 def encode_images(params: Params, cfg: FastVLMConfig, images: jnp.ndarray) -> jnp.ndarray:
@@ -50,11 +57,41 @@ def encode_images(params: Params, cfg: FastVLMConfig, images: jnp.ndarray) -> jn
     return projector.apply(params["projector"], feats, cfg.projector)
 
 
-def _spliced_prompt_embeds(params, cfg, images, ids, image_starts):
+def encode_tiles(
+    params: Params,
+    cfg: FastVLMConfig,
+    tiles: jnp.ndarray,                  # (T, S, S, 3) global view + grid tiles
+    grid_shape: Tuple[int, int],         # (grid_w, grid_h) in tiles
+    original_size: Optional[Tuple[int, int]] = None,  # (width, height)
+) -> jnp.ndarray:
+    """AnyRes encode: tower + projector per tile, then merge per
+    cfg.mm_patch_merge_type (reference llava_arch.py:154-208). Returns
+    (1, N, hidden). grid_shape/original_size are static (host-known)."""
+    from fastvlm_tpu.ops import anyres
+
+    grids = fastvit.features_grid(params["vision"], tiles, cfg.vision)
+    grids = projector.apply(params["projector"], grids, cfg.projector)
+    merge = cfg.mm_patch_merge_type
+    if merge == "flat":
+        feats = anyres.merge_flat(grids)
+    else:
+        feats = anyres.merge_spatial(
+            grids, grid_shape,
+            image_newline=params.get("image_newline"),
+            original_size=original_size,
+            unpad="unpad" in merge,
+        )
+    return feats[None]
+
+
+def _spliced_prompt_embeds(params, cfg, images, ids, image_starts,
+                           vision_embeds=None):
     text = qwen2.embed(params["decoder"], ids)
     cd = resolve_dtype(cfg.decoder.compute_dtype)
     text = text.astype(cd)
-    if images is not None:
+    if vision_embeds is not None:
+        text = overlay_image_embeds(text, vision_embeds.astype(cd), image_starts)
+    elif images is not None:
         vis = encode_images(params, cfg, images).astype(cd)
         text = overlay_image_embeds(text, vis, image_starts)
     return text
@@ -68,9 +105,13 @@ def prefill(
     seq_lens: jnp.ndarray,          # (B,)
     image_starts: jnp.ndarray,      # (B,) -1 for text-only rows
     cache: KVCache,
+    vision_embeds: Optional[jnp.ndarray] = None,  # (B, N, D) precomputed
 ) -> Tuple[jnp.ndarray, KVCache]:
-    """Fused encode+prefill. Returns (next-token logits (B, V), cache)."""
-    embeds = _spliced_prompt_embeds(params, cfg, images, ids, image_starts)
+    """Fused encode+prefill. Returns (next-token logits (B, V), cache).
+
+    ``vision_embeds`` bypasses the tower (anyres merges, KV-reuse paths)."""
+    embeds = _spliced_prompt_embeds(params, cfg, images, ids, image_starts,
+                                    vision_embeds)
     b, t, _ = embeds.shape
     positions = jnp.arange(t, dtype=jnp.int32)[None, :].repeat(b, 0)
     mask = qwen2.prefill_mask(seq_lens, t, cache.max_len)

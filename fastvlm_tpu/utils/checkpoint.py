@@ -257,11 +257,14 @@ def convert_decoder(sd: StateDict, cfg: Qwen2Config, dtype=jnp.float32,
 
 
 def convert_vlm(sd: StateDict, cfg: FastVLMConfig, dtype=jnp.float32) -> Dict[str, Any]:
-    return {
+    params = {
         "vision": convert_vision(sd, cfg.vision, dtype),
         "projector": convert_projector(sd, cfg.projector, dtype),
         "decoder": convert_decoder(sd, cfg.decoder, dtype),
     }
+    if "model.image_newline" in sd:  # anyres unpad row separator
+        params["image_newline"] = _vec(sd, "model.image_newline", dtype)
+    return params
 
 
 def load_vlm(checkpoint_dir: str, cfg: Optional[FastVLMConfig] = None,
