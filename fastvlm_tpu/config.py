@@ -124,6 +124,11 @@ class Qwen2Config:
     tie_word_embeddings: bool = True
     max_position_embeddings: int = 32768
     qkv_bias: bool = True
+    # family knobs (reference ships llava_{qwen,llama,mistral,mpt} subclasses,
+    # llava/model/language_model/): sliding-window attention for Mistral,
+    # ALiBi positions for MPT-style decoders.
+    attn_window: Optional[int] = None   # Mistral sliding window (e.g. 4096)
+    pos_emb: str = "rope"               # 'rope' | 'alibi'
     param_dtype: str = "float32"
     compute_dtype: str = "float32"
 
@@ -153,6 +158,30 @@ def qwen2_7b(**kw) -> Qwen2Config:
     base = dict(
         hidden_size=3584, num_layers=28, num_heads=28, num_kv_heads=4,
         head_dim=128, intermediate_size=18944, tie_word_embeddings=False,
+    )
+    base.update(kw)
+    return Qwen2Config(**base)
+
+
+def llama_7b(**kw) -> Qwen2Config:
+    """Llama/Vicuna family (reference llava_llama.py): no QKV bias."""
+    base = dict(
+        vocab_size=32000, hidden_size=4096, num_layers=32, num_heads=32,
+        num_kv_heads=32, head_dim=128, intermediate_size=11008,
+        rope_theta=10000.0, rms_eps=1e-5, tie_word_embeddings=False,
+        qkv_bias=False,
+    )
+    base.update(kw)
+    return Qwen2Config(**base)
+
+
+def mistral_7b(**kw) -> Qwen2Config:
+    """Mistral family (reference llava_mistral.py): GQA + sliding window."""
+    base = dict(
+        vocab_size=32000, hidden_size=4096, num_layers=32, num_heads=32,
+        num_kv_heads=8, head_dim=128, intermediate_size=14336,
+        rope_theta=10000.0, rms_eps=1e-5, tie_word_embeddings=False,
+        qkv_bias=False, attn_window=4096,
     )
     base.update(kw)
     return Qwen2Config(**base)

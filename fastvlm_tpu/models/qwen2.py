@@ -117,14 +117,32 @@ def _project(x, p):
     return out.astype(x.dtype)
 
 
-def _attend(q, k, v, mask):
-    """q: (B,T,Hq,D); k,v: (B,S,Hkv,D); mask: (B,1,T,S) bool -> (B,T,Hq,D)."""
+def alibi_slopes(num_heads: int) -> jnp.ndarray:
+    """Standard ALiBi head slopes (geometric sequence), for MPT-style decoders."""
+    import math
+
+    def pow2_slopes(n):
+        start = 2.0 ** (-(2.0 ** -(math.log2(n) - 3)))
+        return [start * (start ** i) for i in range(n)]
+
+    if math.log2(num_heads).is_integer():
+        return jnp.asarray(pow2_slopes(num_heads), jnp.float32)
+    closest = 2 ** math.floor(math.log2(num_heads))
+    extra = pow2_slopes(2 * closest)[0::2][: num_heads - closest]
+    return jnp.asarray(pow2_slopes(closest) + extra, jnp.float32)
+
+
+def _attend(q, k, v, mask, bias=None):
+    """q: (B,T,Hq,D); k,v: (B,S,Hkv,D); mask: (B,1,T,S) bool;
+    bias: optional (B,Hq,T,S) additive (ALiBi) -> (B,T,Hq,D)."""
     b, t, hq, d = q.shape
     hkv = k.shape[2]
     group = hq // hkv
     q = q.reshape(b, t, hkv, group, d)
     scores = jnp.einsum("bthgd,bshd->bhgts", q, k,
                         preferred_element_type=jnp.float32) * (d ** -0.5)
+    if bias is not None:
+        scores = scores + bias.reshape(b, hkv, group, t, -1)
     scores = jnp.where(mask[:, :, None], scores, NEG_INF)  # mask (B,Hkv=1 bc,T,S)
     probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
     out = jnp.einsum("bhgts,bshd->bthgd", probs, v,
@@ -132,15 +150,17 @@ def _attend(q, k, v, mask):
     return out.reshape(b, t, hq * d)
 
 
-def _layer(x, lp, cfg: Qwen2Config, cos, sin, cache_k, cache_v, mask, lengths, prefill):
+def _layer(x, lp, cfg: Qwen2Config, cos, sin, cache_k, cache_v, mask, lengths,
+           prefill, bias=None):
     """One decoder layer. cache_k/v: (B, S_max, Hkv, D) or None (no-cache)."""
     b, t, d = x.shape
     h = rms_norm(x, lp["ln1"], cfg.rms_eps)
     q = _project(h, lp["q"]).reshape(b, t, cfg.num_heads, cfg.head_dim)
     k = _project(h, lp["k"]).reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
     v = _project(h, lp["v"]).reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
-    q = apply_rope(q, cos, sin)
-    k = apply_rope(k, cos, sin)
+    if cfg.pos_emb == "rope":
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
 
     if cache_k is None:
         keys, values = k, v
@@ -153,7 +173,7 @@ def _layer(x, lp, cfg: Qwen2Config, cos, sin, cache_k, cache_v, mask, lengths, p
         keys, values = cache_k, cache_v
         new_cache = (cache_k, cache_v)
 
-    attn = _attend(q, keys.astype(q.dtype), values.astype(q.dtype), mask)
+    attn = _attend(q, keys.astype(q.dtype), values.astype(q.dtype), mask, bias)
     x = x + _project(attn, lp["o"]).reshape(b, t, d)
 
     h = rms_norm(x, lp["ln2"], cfg.rms_eps)
@@ -200,19 +220,32 @@ def forward(
     """
     x = inputs_embeds
     b, t, _ = x.shape
-    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+    cos = sin = None
+    if cfg.pos_emb == "rope":
+        cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
 
     if mask is None:
         # plain causal (no cache / full self-attention)
         causal = jnp.tril(jnp.ones((t, t), bool))
         mask = jnp.broadcast_to(causal, (b, t, t))
+
+    bias = None
+    if cfg.pos_emb == "alibi":
+        # additive -slope * (q_pos - k_pos) bias (MPT-style decoders)
+        s = mask.shape[-1]
+        k_pos = jnp.arange(s, dtype=jnp.int32)[None, None, :]
+        dist = (positions[:, :, None] - k_pos).astype(jnp.float32)  # (B,T,S)
+        slopes = alibi_slopes(cfg.num_heads)
+        bias = -slopes[None, :, None, None] * dist[:, None]
+
     mask = mask[:, None]  # (B, 1, T, S)
 
     lengths = cache.lengths if cache is not None else None
 
     if cache is None:
         def body(carry, lp):
-            h, _ = _layer(carry, lp, cfg, cos, sin, None, None, mask, None, prefill)
+            h, _ = _layer(carry, lp, cfg, cos, sin, None, None, mask, None,
+                          prefill, bias)
             return h, None
 
         x, _ = lax.scan(body, x, params["layers"])
@@ -220,7 +253,8 @@ def forward(
     else:
         def body(carry, layer_in):
             lp, ck, cv = layer_in
-            h, (nk, nv) = _layer(carry, lp, cfg, cos, sin, ck, cv, mask, lengths, prefill)
+            h, (nk, nv) = _layer(carry, lp, cfg, cos, sin, ck, cv, mask,
+                                 lengths, prefill, bias)
             return h, (nk, nv)
 
         x, (nk, nv) = lax.scan(body, x, (params["layers"], cache.k, cache.v))
@@ -232,18 +266,26 @@ def forward(
     return x, new_cache
 
 
-def prefill_mask(seq_lens: jnp.ndarray, t: int, s_max: int) -> jnp.ndarray:
-    """(B, T, S_max) mask for right-padded prefill: causal AND k < seq_len."""
+def prefill_mask(seq_lens: jnp.ndarray, t: int, s_max: int,
+                 window: Optional[int] = None) -> jnp.ndarray:
+    """(B, T, S_max) mask for right-padded prefill: causal AND k < seq_len,
+    optionally limited to a sliding window (Mistral)."""
     q_pos = jnp.arange(t)[:, None]
     k_pos = jnp.arange(s_max)[None, :]
     causal = k_pos <= q_pos  # (T, S_max)
+    if window is not None:
+        causal = causal & (q_pos - k_pos < window)
     valid = k_pos[None] < seq_lens[:, None, None]  # (B, 1, S_max)
     return causal[None] & valid
 
 
-def decode_mask(lengths: jnp.ndarray, s_max: int) -> jnp.ndarray:
+def decode_mask(lengths: jnp.ndarray, s_max: int,
+                window: Optional[int] = None) -> jnp.ndarray:
     """(B, 1, S_max) mask for one decode step: attend to k <= lengths[b].
 
     (the new token is written at index lengths[b] before attending)."""
     k_pos = jnp.arange(s_max)[None, None, :]
-    return k_pos <= lengths[:, None, None]
+    m = k_pos <= lengths[:, None, None]
+    if window is not None:
+        m = m & (lengths[:, None, None] - k_pos < window)
+    return m

@@ -114,7 +114,8 @@ def prefill(
                                     vision_embeds)
     b, t, _ = embeds.shape
     positions = jnp.arange(t, dtype=jnp.int32)[None, :].repeat(b, 0)
-    mask = qwen2.prefill_mask(seq_lens, t, cache.max_len)
+    mask = qwen2.prefill_mask(seq_lens, t, cache.max_len,
+                              window=cfg.decoder.attn_window)
     hidden, cache = qwen2.forward(
         params["decoder"], cfg.decoder, embeds, positions,
         cache=cache, mask=mask, prefill=True,
@@ -138,7 +139,8 @@ def decode_step(
         resolve_dtype(cfg.decoder.compute_dtype)
     )
     positions = cache.lengths[:, None]
-    mask = qwen2.decode_mask(cache.lengths, cache.max_len)
+    mask = qwen2.decode_mask(cache.lengths, cache.max_len,
+                             window=cfg.decoder.attn_window)
     hidden, cache = qwen2.forward(
         params["decoder"], cfg.decoder, embeds, positions,
         cache=cache, mask=mask, prefill=False,

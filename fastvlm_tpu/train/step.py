@@ -54,7 +54,8 @@ def loss_fn(
     b, t, _ = embeds.shape
     positions = jnp.arange(t, dtype=jnp.int32)[None].repeat(b, 0)
     # causal mask restricted to real tokens (right padding)
-    mask = qwen2.prefill_mask(batch["attn_lens"], t, t)
+    mask = qwen2.prefill_mask(batch["attn_lens"], t, t,
+                              window=cfg.decoder.attn_window)
     hidden, _ = qwen2.forward(
         params["decoder"], cfg.decoder, embeds, positions, mask=mask)
     logits = qwen2.logits_from_hidden(params["decoder"], hidden, cfg.decoder)

@@ -1,0 +1,113 @@
+"""Decoder-family coverage: Llama and Mistral parity vs HF, sliding-window
+masks, ALiBi bias path (reference ships llava_{qwen,llama,mistral,mpt})."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+
+from fastvlm_tpu.config import Qwen2Config
+from fastvlm_tpu.models import qwen2
+from fastvlm_tpu.utils import checkpoint as ckpt
+
+
+def _run_ours(params, cfg, ids):
+    hidden, _ = qwen2.forward(params, cfg, qwen2.embed(params, jnp.asarray(ids)),
+                              jnp.arange(ids.shape[1])[None])
+    return np.asarray(qwen2.logits_from_hidden(params, hidden, cfg))
+
+
+def test_llama_parity():
+    from transformers import LlamaConfig
+    from transformers.models.llama import LlamaForCausalLM
+
+    cfg = Qwen2Config(vocab_size=64, hidden_size=32, num_layers=2, num_heads=4,
+                      num_kv_heads=2, head_dim=8, intermediate_size=64,
+                      rope_theta=10000.0, rms_eps=1e-5,
+                      tie_word_embeddings=False, qkv_bias=False)
+    torch.manual_seed(0)
+    hf = LlamaForCausalLM(LlamaConfig(
+        vocab_size=64, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=8,
+        intermediate_size=64, rope_theta=10000.0, rms_norm_eps=1e-5,
+        tie_word_embeddings=False, attention_bias=False))
+    hf.eval()
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    params = ckpt.convert_decoder(sd, cfg)
+
+    ids = np.array([[3, 11, 42, 7, 19]], np.int32)
+    with torch.no_grad():
+        want = hf(torch.from_numpy(ids.astype(np.int64))).logits.numpy()
+    got = _run_ours(params, cfg, ids)
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
+
+
+def test_mistral_parity_with_window():
+    from transformers import MistralConfig
+    from transformers.models.mistral import MistralForCausalLM
+
+    window = 3
+    cfg = Qwen2Config(vocab_size=64, hidden_size=32, num_layers=2, num_heads=4,
+                      num_kv_heads=2, head_dim=8, intermediate_size=64,
+                      rope_theta=10000.0, rms_eps=1e-5,
+                      tie_word_embeddings=False, qkv_bias=False,
+                      attn_window=window)
+    torch.manual_seed(0)
+    hf = MistralForCausalLM(MistralConfig(
+        vocab_size=64, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=8,
+        intermediate_size=64, rope_theta=10000.0, rms_norm_eps=1e-5,
+        tie_word_embeddings=False, sliding_window=window,
+        attn_implementation="eager", use_sliding_window=True,
+        max_window_layers=0))
+    hf.eval()
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    params = ckpt.convert_decoder(sd, cfg)
+
+    ids = np.array([[3, 11, 42, 7, 19, 23, 50, 8]], np.int32)
+    with torch.no_grad():
+        want = hf(torch.from_numpy(ids.astype(np.int64))).logits.numpy()
+
+    # ours with the sliding-window mask
+    t = ids.shape[1]
+    mask = qwen2.prefill_mask(jnp.array([t]), t, t, window=window)
+    hidden, _ = qwen2.forward(params, cfg,
+                              qwen2.embed(params, jnp.asarray(ids)),
+                              jnp.arange(t)[None], mask=mask)
+    got = np.asarray(qwen2.logits_from_hidden(params, hidden, cfg))
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
+
+
+def test_sliding_window_changes_logits():
+    """With window < seq len, logits must differ from full attention."""
+    cfg = Qwen2Config(vocab_size=64, hidden_size=32, num_layers=2, num_heads=4,
+                      num_kv_heads=2, head_dim=8, intermediate_size=64,
+                      tie_word_embeddings=True)
+    params = qwen2.init(jax.random.PRNGKey(0), cfg)
+    ids = np.array([[1, 2, 3, 4, 5, 6]], np.int32)
+    t = ids.shape[1]
+    e = qwen2.embed(params, jnp.asarray(ids))
+    pos = jnp.arange(t)[None]
+    h_full, _ = qwen2.forward(params, cfg, e, pos)
+    m = qwen2.prefill_mask(jnp.array([t]), t, t, window=2)
+    h_win, _ = qwen2.forward(params, cfg, e, pos, mask=m)
+    assert not np.allclose(np.asarray(h_full[:, -1]), np.asarray(h_win[:, -1]))
+
+
+def test_alibi_runs_and_is_position_sensitive():
+    cfg = Qwen2Config(vocab_size=64, hidden_size=32, num_layers=2, num_heads=4,
+                      num_kv_heads=4, head_dim=8, intermediate_size=64,
+                      tie_word_embeddings=True, pos_emb="alibi")
+    params = qwen2.init(jax.random.PRNGKey(0), cfg)
+    ids = np.array([[1, 2, 3, 4]], np.int32)
+    e = qwen2.embed(params, jnp.asarray(ids))
+    h1, _ = qwen2.forward(params, cfg, e, jnp.arange(4)[None])
+    h2, _ = qwen2.forward(params, cfg, e, jnp.arange(4)[None] + 10)
+    assert np.isfinite(np.asarray(h1)).all()
+    # later absolute positions change nothing for relative alibi on fresh
+    # sequences only when distances match; here distances are equal:
+    np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), rtol=1e-5,
+                               atol=1e-5)
+    # slopes: 4 heads -> [1/4, 1/16, 1/64, 1/256]
+    np.testing.assert_allclose(np.asarray(qwen2.alibi_slopes(4)),
+                               [0.25, 0.0625, 0.015625, 0.00390625])
