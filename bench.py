@@ -101,6 +101,80 @@ def bench_ttft(cfg, params, batch: int, iters: int, warmup: int = 3):
     return float(np.percentile(times, 50)), times, bucket
 
 
+def bench_decode(cfg, params, batch: int, steps: int = 64):
+    """Sustained decode tok/s: chunked decode over a warm cache."""
+    import jax
+    import jax.numpy as jnp
+
+    from fastvlm_tpu.models import vlm
+    from fastvlm_tpu.ops.kv_cache import init_cache
+    from fastvlm_tpu.ops.splice import expand_image_ids, pad_batch
+
+    row, start = expand_image_ids([100, -200, 200], cfg.num_image_tokens)
+    bucket = -(-(len(row) + 1) // 64) * 64
+    ids, lens, starts = pad_batch([row] * batch, [start] * batch, bucket)
+    dtype = jnp.bfloat16 if cfg.decoder.compute_dtype == "bfloat16" else jnp.float32
+    cache = init_cache(cfg.decoder.num_layers, batch, bucket + steps + 8,
+                       cfg.decoder.num_kv_heads, cfg.decoder.head_dim, dtype)
+    images = jax.random.uniform(
+        jax.random.PRNGKey(1),
+        (batch, cfg.vision.image_size, cfg.vision.image_size, 3), dtype=dtype)
+    logits, cache = jax.jit(
+        lambda p, i, a, l, s, c: vlm.prefill(p, cfg, i, a, l, s, c)
+    )(params, images, jnp.asarray(ids), jnp.asarray(lens),
+      jnp.asarray(starts), cache)
+    tok = jnp.argmax(logits, -1).astype(jnp.int32)
+    done = jnp.zeros((batch,), bool)
+    key = jax.random.PRNGKey(0)
+    # warm the chunk fn
+    toks, done_, tok_, cache_, key_ = vlm.decode_chunk(
+        params, cfg, tok, done, cache, key, k=8, eos_ids=(-1,))
+    sync(toks)
+    t0 = time.perf_counter()
+    n = 0
+    while n < steps:
+        toks, done, tok, cache, key = vlm.decode_chunk(
+            params, cfg, tok, done, cache, key, k=8, eos_ids=(-1,))
+        n += 8
+    sync(toks)
+    dt = time.perf_counter() - t0
+    return n * batch / dt  # tokens/sec aggregate
+
+
+def bench_video(cfg, params, frames: int = 8):
+    """Per-frame latency of the streaming video-QA loop (KV prefix reuse)."""
+    import numpy as np
+
+    from fastvlm_tpu.data.preprocessing import ByteTokenizer
+    from fastvlm_tpu.engine import Engine
+    from fastvlm_tpu.video import VideoQA
+
+    tok = ByteTokenizer()
+    engine = Engine(cfg, params, tok, eos_ids=(tok.eos_token_id,))
+    vq = VideoQA(engine, "What is happening?", max_new_tokens=32)
+    frame = np.random.RandomState(0).rand(
+        cfg.vision.image_size, cfg.vision.image_size, 3).astype(np.float32)
+    vq.ask(frame)  # warm/compile
+    times = []
+    for _ in range(frames):
+        t0 = time.perf_counter()
+        _, stats = vq.ask(frame)
+        times.append((time.perf_counter() - t0) * 1000)
+    return float(np.percentile(times, 50)), times
+
+
+# The five BASELINE.json configs (SURVEY.md §6 north-star)
+CONFIGS = {
+    "0.5b-caption": dict(size="0.5b", image_size=1024, batch=1, mode="ttft"),
+    "1.5b-vqa": dict(size="1.5b", image_size=1024, batch=1, mode="ttft"),
+    "7b-batch8": dict(size="7b", image_size=1024, batch=8, mode="ttft",
+                      quantize_bits=8),
+    "ocr-1536": dict(size="0.5b", image_size=1536, batch=1, mode="ttft"),
+    "video-qa": dict(size="0.5b", image_size=1024, batch=1, mode="video"),
+    "decode": dict(size="0.5b", image_size=1024, batch=1, mode="decode"),
+}
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--size", default="0.5b", choices=["0.5b", "1.5b", "7b"])
@@ -108,9 +182,44 @@ def main(argv=None) -> int:
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--config", default=None, choices=list(CONFIGS),
+                   help="named BASELINE config (overrides size/image/batch)")
+    p.add_argument("--quantize-bits", type=int, default=None)
     args = p.parse_args(argv)
 
+    mode = "ttft"
+    if args.config:
+        c = CONFIGS[args.config]
+        args.size, args.image_size, args.batch = \
+            c["size"], c["image_size"], c["batch"]
+        mode = c["mode"]
+        args.quantize_bits = c.get("quantize_bits", args.quantize_bits)
+
     cfg, params = make_model(args.size, args.image_size, args.dtype)
+    if args.quantize_bits:
+        from fastvlm_tpu.ops.quant import quantize_decoder
+
+        params = dict(params)
+        params["decoder"] = quantize_decoder(params["decoder"],
+                                             args.quantize_bits)
+
+    if mode == "video":
+        p50, times = bench_video(cfg, params)
+        print(json.dumps({"times_ms": [round(t, 1) for t in times]}),
+              file=sys.stderr)
+        print(json.dumps({
+            "metric": f"p50 per-frame latency video-QA {args.size} @{args.image_size}px (32 new tokens, KV prefix reuse)",
+            "value": round(p50, 2), "unit": "ms", "vs_baseline": 0.0,
+        }))
+        return 0
+    if mode == "decode":
+        tps = bench_decode(cfg, params, args.batch)
+        print(json.dumps({
+            "metric": f"decode throughput {args.size} b{args.batch}",
+            "value": round(tps, 1), "unit": "tok/s", "vs_baseline": 0.0,
+        }))
+        return 0
+
     p50, times, bucket = bench_ttft(cfg, params, args.batch, args.iters)
 
     print(json.dumps({

@@ -110,6 +110,10 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray):
 
 
 def _project(x, p):
+    if "w_q" in p:  # weight-only quantized linear (ops/quant.py)
+        from fastvlm_tpu.ops.quant import quantized_matmul
+
+        return quantized_matmul(x, p)
     out = jnp.einsum("btd,df->btf", x, p["w"].astype(x.dtype),
                      preferred_element_type=jnp.float32)
     if "b" in p:
@@ -151,7 +155,7 @@ def _attend(q, k, v, mask, bias=None):
 
 
 def _layer(x, lp, cfg: Qwen2Config, cos, sin, cache_k, cache_v, mask, lengths,
-           prefill, bias=None):
+           prefill, bias=None, prefill_offset=0):
     """One decoder layer. cache_k/v: (B, S_max, Hkv, D) or None (no-cache)."""
     b, t, d = x.shape
     h = rms_norm(x, lp["ln1"], cfg.rms_eps)
@@ -167,7 +171,8 @@ def _layer(x, lp, cfg: Qwen2Config, cos, sin, cache_k, cache_v, mask, lengths,
         new_cache = None
     else:
         if prefill:
-            cache_k, cache_v = write_prompt(cache_k, cache_v, k, v)
+            cache_k, cache_v = write_prompt(cache_k, cache_v, k, v,
+                                            prefill_offset)
         else:
             cache_k, cache_v = write_token(cache_k, cache_v, k, v, lengths)
         keys, values = cache_k, cache_v
@@ -198,6 +203,10 @@ def logits_from_hidden(params: Params, hidden: jnp.ndarray, cfg: Qwen2Config):
         w = params["embed"].astype(hidden.dtype)
         return jnp.einsum("btd,vd->btv", hidden, w,
                           preferred_element_type=jnp.float32)
+    if "w_q" in params["lm_head"]:
+        from fastvlm_tpu.ops.quant import quantized_matmul
+
+        return quantized_matmul(hidden, params["lm_head"]).astype(jnp.float32)
     return jnp.einsum("btd,dv->btv", hidden,
                       params["lm_head"]["w"].astype(hidden.dtype),
                       preferred_element_type=jnp.float32)
@@ -211,6 +220,7 @@ def forward(
     cache: Optional[KVCache] = None,
     mask: Optional[jnp.ndarray] = None,  # (B, T, S) bool, True = attend
     prefill: bool = True,
+    prefill_offset=0,  # cache write offset (prefix-reuse continuation)
 ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     """Run the decoder stack over embeddings; returns (hidden, new_cache).
 
@@ -254,7 +264,7 @@ def forward(
         def body(carry, layer_in):
             lp, ck, cv = layer_in
             h, (nk, nv) = _layer(carry, lp, cfg, cos, sin, ck, cv, mask,
-                                 lengths, prefill, bias)
+                                 lengths, prefill, bias, prefill_offset)
             return h, (nk, nv)
 
         x, (nk, nv) = lax.scan(body, x, (params["layers"], cache.k, cache.v))

@@ -128,6 +128,45 @@ def prefill(
     return logits[:, 0], cache
 
 
+def prefill_continue(
+    params: Params,
+    cfg: FastVLMConfig,
+    images: Optional[jnp.ndarray],
+    suffix_ids: jnp.ndarray,     # (B, T') sentinel-expanded suffix tokens
+    suffix_lens: jnp.ndarray,    # (B,) real suffix lengths (<= T')
+    image_starts: jnp.ndarray,   # (B,) start WITHIN the suffix; -1 if none
+    offset: int,                 # static: tokens already cached (the prefix)
+    cache: KVCache,
+) -> Tuple[jnp.ndarray, KVCache]:
+    """Continue a prefill after ``offset`` cached prefix tokens.
+
+    The video-QA path (reference app camera loop, ContentView.swift:362-414):
+    the system/user prompt prefix before the image span is prefilled once;
+    each new frame only encodes the image and runs this suffix prefill +
+    decode. Returns (next-token logits, cache)."""
+    embeds = _spliced_prompt_embeds(params, cfg, images, suffix_ids,
+                                    image_starts)
+    b, t, _ = embeds.shape
+    positions = offset + jnp.arange(t, dtype=jnp.int32)[None, :].repeat(b, 0)
+    # queries at offset+i attend to all keys k <= offset+i (prefix is valid)
+    q_pos = offset + jnp.arange(t)[:, None]
+    k_pos = jnp.arange(cache.max_len)[None, :]
+    mask = (k_pos <= q_pos)[None]
+    if cfg.decoder.attn_window is not None:
+        mask = mask & (q_pos - k_pos < cfg.decoder.attn_window)[None]
+    mask = jnp.broadcast_to(mask, (b, t, cache.max_len))
+    hidden, cache = qwen2.forward(
+        params["decoder"], cfg.decoder, embeds, positions,
+        cache=cache, mask=mask, prefill=True, prefill_offset=offset,
+    )
+    total = offset + suffix_lens
+    cache = cache._replace(lengths=total)
+    last = jnp.clip(suffix_lens - 1, 0, t - 1)
+    last_hidden = jnp.take_along_axis(hidden, last[:, None, None], axis=1)
+    logits = qwen2.logits_from_hidden(params["decoder"], last_hidden, cfg.decoder)
+    return logits[:, 0], cache
+
+
 def decode_step(
     params: Params,
     cfg: FastVLMConfig,

@@ -44,11 +44,13 @@ def init_cache(num_layers, batch, max_len, num_kv_heads, head_dim, dtype=jnp.bfl
     )
 
 
-def write_prompt(layer_k, layer_v, new_k, new_v):
-    """Prefill write: place (B, T, H, D) keys/values at positions [0, T)."""
-    t = new_k.shape[1]
-    layer_k = lax.dynamic_update_slice_in_dim(layer_k, new_k.astype(layer_k.dtype), 0, axis=1)
-    layer_v = lax.dynamic_update_slice_in_dim(layer_v, new_v.astype(layer_v.dtype), 0, axis=1)
+def write_prompt(layer_k, layer_v, new_k, new_v, offset=0):
+    """Prefill write: place (B, T, H, D) keys/values at positions
+    [offset, offset+T). offset may be a traced scalar (prefix-reuse paths)."""
+    layer_k = lax.dynamic_update_slice_in_dim(
+        layer_k, new_k.astype(layer_k.dtype), offset, axis=1)
+    layer_v = lax.dynamic_update_slice_in_dim(
+        layer_v, new_v.astype(layer_v.dtype), offset, axis=1)
     return layer_k, layer_v
 
 

@@ -1,0 +1,105 @@
+"""Weight-only quantization: int8 and packed int4, per-output-channel scales.
+
+The reference ships on-device quantization presets — 0.5B fp16, 1.5B int8,
+7B int4 (README.md:68-70, via mlx-vlm convert -q). TPU equivalent: decoder
+matmul weights stored as int8/int4 with float scales, dequantized inside the
+matmul (weights stream from HBM at 1/2-1/4 the bytes — decode is
+weight-bandwidth-bound, so this is a direct decode-latency win).
+
+A quantized linear param dict is {"w_q": int8, "scale": f32 (..., cout),
+"b"?: float}. int4 packs two values per byte along cin, so the format is
+inferred from shapes at the call site (w_q cin == x cin -> int8; half -> int4)
+— keeping every leaf an array so stacked-layer dicts stay lax.scan-able.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _quantize_array(w: np.ndarray, bits: int):
+    """w (..., cin, cout) -> (w_q int8 (..., cin', cout), scale (..., cout))."""
+    qmax = 127.0 if bits == 8 else 7.0
+    scale = np.abs(w).max(axis=-2) / qmax               # (..., cout)
+    scale = np.where(scale == 0, 1.0, scale)
+    q = np.clip(np.round(w / scale[..., None, :]), -qmax - 1, qmax)
+    q = q.astype(np.int8)
+    if bits == 8:
+        return q, scale.astype(np.float32)
+    if q.shape[-2] % 2:
+        pad = [(0, 0)] * (q.ndim - 2) + [(0, 1), (0, 0)]
+        q = np.pad(q, pad)
+    low = q[..., 0::2, :] & 0x0F
+    high = (q[..., 1::2, :] & 0x0F) << 4
+    return (low | high).astype(np.int8), scale.astype(np.float32)
+
+
+def quantize_linear(p: Dict[str, Any], bits: int = 8) -> Dict[str, Any]:
+    """{"w": (..., cin, cout) float, "b"?} -> {"w_q", "scale", "b"?}."""
+    w_q, scale = _quantize_array(np.asarray(p["w"], np.float32), bits)
+    out: Dict[str, Any] = {"w_q": jnp.asarray(w_q),
+                           "scale": jnp.asarray(scale)}
+    if "b" in p:
+        out["b"] = p["b"]
+    return out
+
+
+def is_quantized(p: Any) -> bool:
+    return isinstance(p, dict) and "w_q" in p
+
+
+def _unpack_int4(w_q: jnp.ndarray, cin: int) -> jnp.ndarray:
+    """(..., cin/2, cout) packed -> (..., cin, cout) int8 in [-8, 7]."""
+    low = (w_q << 4).astype(jnp.int8) >> 4   # sign-extend low nibble
+    high = w_q >> 4                           # arithmetic shift -> high nibble
+    stacked = jnp.stack([low, high], axis=-2)  # (..., half, 2, cout)
+    shape = w_q.shape[:-2] + (w_q.shape[-2] * 2, w_q.shape[-1])
+    return stacked.reshape(shape)[..., :cin, :]
+
+
+def unpacked_weight(p: Dict[str, Any], cin: int) -> jnp.ndarray:
+    """int8 weight matrix (..., cin, cout), unpacking int4 if needed."""
+    w_q = p["w_q"]
+    if w_q.shape[-2] == cin:
+        return w_q
+    return _unpack_int4(w_q, cin)
+
+
+def dequantize(p: Dict[str, Any], cin: int) -> jnp.ndarray:
+    return unpacked_weight(p, cin).astype(jnp.float32) * p["scale"][..., None, :]
+
+
+def quantized_matmul(x: jnp.ndarray, p: Dict[str, Any]) -> jnp.ndarray:
+    """x (..., cin) @ dequant(w) + b; f32 accumulation, per-cout scales on
+    the output (exact for per-channel weight-only quantization)."""
+    w = unpacked_weight(p, x.shape[-1])
+    out = jnp.einsum("...d,df->...f", x, w.astype(x.dtype),
+                     preferred_element_type=jnp.float32)
+    out = out * p["scale"]
+    if "b" in p:
+        out = out + p["b"].astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+def quantize_decoder(params: Dict[str, Any], bits: int = 8,
+                     skip: tuple = ()) -> Dict[str, Any]:
+    """Quantize every linear in a (stacked-layer) decoder param tree.
+
+    Embeddings and norms stay full precision (the embed doubles as the tied
+    LM head). Stacked (L, cin, cout) weights quantize per layer+channel."""
+    out = dict(params)
+    qlayers = {}
+    for name, sub in params["layers"].items():
+        if name.startswith("ln") or name in skip or not (
+                isinstance(sub, dict) and "w" in sub):
+            qlayers[name] = sub
+        else:
+            qlayers[name] = quantize_linear(sub, bits)
+    out["layers"] = qlayers
+    if "lm_head" in params and "lm_head" not in skip:
+        out["lm_head"] = quantize_linear(params["lm_head"], bits)
+    return out

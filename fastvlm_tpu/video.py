@@ -1,0 +1,164 @@
+"""Streaming video-frame QA: repeated encode + KV prefix reuse.
+
+Mirrors the reference app's camera loop (app/ContentView.swift:362-414 +
+FastVLMModel.swift:86-155): one frame at a time, a fixed question, full
+generation per frame, TTFT measured per inference. TPU design improvements:
+
+  * the prompt prefix before the image span (system + user header) is
+    prefilled ONCE; each frame reuses those cache entries and only runs
+    vision encode + suffix prefill + decode (vlm.prefill_continue);
+  * one persistent KV cache — no per-frame allocation; stale decode tokens
+    from the previous frame are invalidated by the lengths reset;
+  * every stage is a cached jitted call, so steady-state per-frame work is
+    exactly [encode+suffix-prefill] + [decode chunks].
+
+Frame-dropping backpressure (the app's AsyncStream bufferingNewest(1)) is the
+``latest_only`` consumption pattern in ``qa_over_stream``.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Dict, Iterator, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fastvlm_tpu.models import vlm
+from fastvlm_tpu.ops.kv_cache import init_cache
+from fastvlm_tpu.ops.sampling import SamplingParams
+from fastvlm_tpu.ops.splice import expand_image_ids, pad_batch
+
+
+def _sync(x):
+    return np.asarray(x)
+
+
+class VideoQA:
+    """Fixed-question QA over a stream of frames, with prefix KV reuse."""
+
+    def __init__(self, engine, question: str, *, max_new_tokens: int = 48,
+                 sampling: SamplingParams = SamplingParams()):
+        self.engine = engine
+        self.cfg = engine.cfg
+        self.max_new_tokens = max_new_tokens
+        self.sampling = sampling
+        cfg = self.cfg
+
+        prompt = engine.build_prompt(question)
+        from fastvlm_tpu.data.preprocessing import tokenizer_image_token
+
+        ids = tokenizer_image_token(prompt, engine.tokenizer)
+        row, start = expand_image_ids(ids, cfg.num_image_tokens)
+        assert start > 0, "video QA prompt must contain <image>"
+        self.prefix_len = start
+        suffix = row[start:]
+        bucket = -(-len(suffix) // 64) * 64
+        suf_ids, suf_lens, _ = pad_batch([suffix], [0], bucket)
+        self.suffix_ids = jnp.asarray(suf_ids)
+        self.suffix_lens = jnp.asarray(suf_lens)
+        self.suffix_starts = jnp.asarray([0], np.int32)  # image at suffix pos 0
+
+        total_max = start + bucket + max_new_tokens
+        self._dtype = engine._dtype
+        self.cache = init_cache(
+            cfg.decoder.num_layers, 1, total_max,
+            cfg.decoder.num_kv_heads, cfg.decoder.head_dim, self._dtype)
+
+        # one-time prefix prefill (no image in the prefix)
+        pre_ids, pre_lens, pre_starts = pad_batch(
+            [np.asarray(row[:start], np.int32)], [-1], start)
+        _, self.cache = engine._prefill_jit(
+            engine.params, None, jnp.asarray(pre_ids), jnp.asarray(pre_lens),
+            jnp.asarray(pre_starts), self.cache)
+
+        import functools
+
+        @functools.partial(jax.jit, static_argnames=("offset",))
+        def _suffix_prefill(params, images, suf_ids, suf_lens, starts, offset,
+                            cache):
+            return vlm.prefill_continue(params, cfg, images, suf_ids,
+                                        suf_lens, starts, offset, cache)
+
+        self._suffix_prefill = _suffix_prefill
+
+    def ask(self, frame) -> Tuple[str, Dict[str, Any]]:
+        """frame: PIL image or (H, W, 3) array. Returns (answer, stats)."""
+        engine = self.engine
+        cfg = self.cfg
+        if hasattr(frame, "convert"):
+            from fastvlm_tpu.data.preprocessing import process_images
+
+            images = jnp.asarray(
+                process_images([frame], engine.processor, cfg), self._dtype)
+        else:
+            images = jnp.asarray(frame, self._dtype)
+            if images.ndim == 3:
+                images = images[None]
+
+        t0 = time.perf_counter()
+        logits, cache = self._suffix_prefill(
+            engine.params, images, self.suffix_ids, self.suffix_lens,
+            self.suffix_starts, self.prefix_len, self.cache)
+        from fastvlm_tpu.ops.sampling import sample
+
+        key = jax.random.PRNGKey(time.time_ns() % 2**31)
+        key, sub = jax.random.split(key)
+        tok = sample(sub, logits, self.sampling)
+        first = int(_sync(tok)[0])
+        ttft_ms = (time.perf_counter() - t0) * 1000
+
+        out = [] if first in engine.eos_ids else [first]
+        done = jnp.asarray([first in engine.eos_ids])
+        emitted = 1
+        while not bool(_sync(done)[0]) and emitted < self.max_new_tokens:
+            k = min(engine.chunk, self.max_new_tokens - emitted)
+            toks, done, tok, cache, key = vlm.decode_chunk(
+                engine.params, cfg, tok, done, cache, key, k=k,
+                eos_ids=engine.eos_ids, sampling=self.sampling)
+            for tk in _sync(toks)[0]:
+                tk = int(tk)
+                if tk in engine.eos_ids:
+                    done = jnp.asarray([True])
+                    break
+                out.append(tk)
+            emitted += k
+        self.cache = cache  # reuse buffers next frame (lengths reset on prefill)
+        text = engine.tokenizer.decode(out, skip_special_tokens=True).strip()
+        total_ms = (time.perf_counter() - t0) * 1000
+        return text, {"ttft_ms": round(ttft_ms, 2),
+                      "total_ms": round(total_ms, 2),
+                      "tokens": len(out)}
+
+
+def qa_over_stream(
+    video_qa: VideoQA,
+    frames: Iterable,
+    latest_only: bool = True,
+) -> Iterator[Tuple[str, Dict[str, Any]]]:
+    """Drive VideoQA over a frame iterable. With latest_only, frames arriving
+    while a generation is in flight are dropped except the newest (the app's
+    bufferingNewest(1) backpressure)."""
+    it = iter(frames)
+    pending = None
+    while True:
+        if pending is None:
+            try:
+                pending = next(it)
+            except StopIteration:
+                return
+        frame = pending
+        pending = None
+        yield video_qa.ask(frame)
+        if latest_only:
+            # drain any frames that arrived during generation, keep newest
+            drained = None
+            try:
+                while True:
+                    drained = next(it)
+                    break  # plain iterables: take next; real camera sources
+                    # would be non-blocking queues
+            except StopIteration:
+                return
+            pending = drained

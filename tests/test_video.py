@@ -1,0 +1,80 @@
+"""Video QA path: prefix-reuse continuation must match a full prefill."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fastvlm_tpu.engine import build_engine
+from fastvlm_tpu.models import vlm
+from fastvlm_tpu.ops.kv_cache import init_cache
+from fastvlm_tpu.ops.splice import expand_image_ids, pad_batch
+from fastvlm_tpu.video import VideoQA, qa_over_stream
+
+
+def test_prefill_continue_matches_full_prefill():
+    engine = build_engine(random_tiny=True)
+    cfg = engine.cfg
+    params = engine.params
+    n = cfg.num_image_tokens
+
+    raw = [5, 7, 11, -200, 9, 13]
+    row, start = expand_image_ids(raw, n)
+    total = len(row)
+    images = jax.random.uniform(jax.random.PRNGKey(1), (1, 256, 256, 3))
+
+    # full prefill
+    ids, lens, starts = pad_batch([row], [start], total)
+    cache_a = init_cache(cfg.decoder.num_layers, 1, total + 8,
+                         cfg.decoder.num_kv_heads, cfg.decoder.head_dim,
+                         jnp.float32)
+    logits_a, cache_a = vlm.prefill(params, cfg, images, jnp.asarray(ids),
+                                    jnp.asarray(lens), jnp.asarray(starts),
+                                    cache_a)
+
+    # prefix (before image span) then continuation
+    prefix = row[:start]
+    suffix = row[start:]
+    cache_b = init_cache(cfg.decoder.num_layers, 1, total + 8,
+                         cfg.decoder.num_kv_heads, cfg.decoder.head_dim,
+                         jnp.float32)
+    pids, plens, pstarts = pad_batch([prefix], [-1], len(prefix))
+    _, cache_b = vlm.prefill(params, cfg, None, jnp.asarray(pids),
+                             jnp.asarray(plens), jnp.asarray(pstarts), cache_b)
+    sids, slens, _ = pad_batch([suffix], [0], len(suffix))
+    logits_b, cache_b = vlm.prefill_continue(
+        params, cfg, images, jnp.asarray(sids), jnp.asarray(slens),
+        jnp.asarray([0], np.int32), len(prefix), cache_b)
+
+    np.testing.assert_allclose(np.asarray(logits_a), np.asarray(logits_b),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(cache_a.lengths),
+                                  np.asarray(cache_b.lengths))
+    # cached K/V identical over the valid region
+    np.testing.assert_allclose(np.asarray(cache_a.k[:, :, :total]),
+                               np.asarray(cache_b.k[:, :, :total]),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_video_qa_frames_consistent_and_independent():
+    """Same frame twice -> same answer; cache reuse must not leak between
+    frames (frame 3 == frame 1 gives frame-1's answer again)."""
+    engine = build_engine(random_tiny=True)
+    vq = VideoQA(engine, "What do you see?", max_new_tokens=6)
+
+    f1 = np.random.RandomState(0).rand(256, 256, 3).astype(np.float32)
+    f2 = np.random.RandomState(1).rand(256, 256, 3).astype(np.float32)
+
+    a1, s1 = vq.ask(f1)
+    a2, s2 = vq.ask(f2)
+    a3, s3 = vq.ask(f1)
+    assert a1 == a3, "cache state leaked between frames"
+    assert s1["ttft_ms"] > 0 and s3["tokens"] == s1["tokens"]
+
+
+def test_qa_over_stream():
+    engine = build_engine(random_tiny=True)
+    vq = VideoQA(engine, "Describe", max_new_tokens=3)
+    frames = [np.zeros((256, 256, 3), np.float32) for _ in range(3)]
+    results = list(qa_over_stream(vq, frames, latest_only=False))
+    assert len(results) == 3
+    assert all(isinstance(t, str) for t, _ in results)
