@@ -64,6 +64,9 @@ class FastViTConfig:
     # dtype policy
     param_dtype: str = "float32"
     compute_dtype: str = "float32"
+    # 'xla' | 'pallas' — pallas fuses fc1+gelu+fc2(+layer-scale residual)
+    # into one VMEM-resident kernel (ops/pallas/ffn.py)
+    ffn_backend: str = "xla"
 
     @property
     def out_channels(self) -> int:

@@ -168,13 +168,27 @@ def _ffn(x, p):
     return y
 
 
-def _repmixer_block(x, p):
+def _ffn_residual(x, p, ls, cfg: FastViTConfig):
+    """x + ls * ConvFFN(x), optionally via the fused Pallas kernel."""
+    c = x.shape[-1]
+    if cfg.ffn_backend == "pallas":
+        import jax as _jax
+
+        from fastvlm_tpu.ops.pallas.ffn import ffn_block_apply
+
+        t = conv2d(x, p["dw"]["w"], p["dw"]["b"], groups=c)
+        return ffn_block_apply(
+            t, x, p, ls, interpret=_jax.default_backend() == "cpu")
+    return x + ls.astype(x.dtype) * _ffn(x, p)
+
+
+def _repmixer_block(x, p, cfg: FastViTConfig):
     """Inference RepMixerBlock (reference mci.py:1042-1113): fused dw-conv token
     mixer (identity + layer-scaled mix already folded in, mci.py:819-859),
     then layer-scaled ConvFFN residual."""
     c = x.shape[-1]
     x = conv2d(x, p["mixer"]["w"], p["mixer"]["b"], groups=c)
-    return x + p["ls"].astype(x.dtype) * _ffn(x, p["ffn"])
+    return _ffn_residual(x, p["ffn"], p["ls"], cfg)
 
 
 def _mhsa(x, p, head_dim: int):
@@ -211,7 +225,7 @@ def _attention_block(x, p, cfg: FastViTConfig):
     y = layer_norm(x, p["norm_scale"], p["norm_bias"], cfg.ln_eps)
     y = _mhsa(y.reshape(b, h * w, c), p, cfg.attn_head_dim).reshape(b, h, w, c)
     x = x + p["ls1"].astype(x.dtype) * y
-    return x + p["ls2"].astype(x.dtype) * _ffn(x, p["ffn"])
+    return _ffn_residual(x, p["ffn"], p["ls2"], cfg)
 
 
 def _run_stage(x, stage: Params, mixer_type: str, cfg: FastViTConfig):
@@ -221,7 +235,7 @@ def _run_stage(x, stage: Params, mixer_type: str, cfg: FastViTConfig):
 
     blocks = stage["blocks"]
     if mixer_type == "repmixer":
-        body = lambda carry, bp: (_repmixer_block(carry, bp), None)
+        body = lambda carry, bp: (_repmixer_block(carry, bp, cfg), None)
     else:
         body = lambda carry, bp: (_attention_block(carry, bp, cfg), None)
     x, _ = lax.scan(body, x, blocks)

@@ -60,7 +60,7 @@ def test_repmixer_block_parity():
     p["ls"] = jnp.asarray(np.random.RandomState(0).randn(c).astype(np.float32) * 0.1)
     x = np.random.RandomState(1).randn(1, 10, 10, c).astype(np.float32)
 
-    got = _np(fastvit._repmixer_block(jnp.asarray(x), p))
+    got = _np(fastvit._repmixer_block(jnp.asarray(x), p, cfg))
 
     xt = _t(x)
     mixed = F.conv2d(xt, _tw(p["mixer"]["w"]),
@@ -145,3 +145,16 @@ def test_token_order_row_major():
     np.testing.assert_array_equal(
         _np(tokens).reshape(1, g, g, -1), _np(grid)
     )
+
+
+def test_pallas_ffn_backend_matches_xla():
+    """Encoder with ffn_backend='pallas' (interpret on CPU) must match XLA."""
+    import dataclasses
+
+    cfg_x = tiny_cfg()
+    cfg_p = dataclasses.replace(cfg_x, ffn_backend="pallas")
+    params = fastvit.init(jax.random.PRNGKey(0), cfg_x)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 128, 128, 3)) * 0.5
+    a = _np(fastvit.apply(params, x, cfg_x))
+    b = _np(fastvit.apply(params, x, cfg_p))
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
