@@ -221,6 +221,7 @@ def forward(
     mask: Optional[jnp.ndarray] = None,  # (B, T, S) bool, True = attend
     prefill: bool = True,
     prefill_offset=0,  # cache write offset (prefix-reuse continuation)
+    remat: bool = False,  # rematerialize layers under grad (training memory)
 ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     """Run the decoder stack over embeddings; returns (hidden, new_cache).
 
@@ -258,6 +259,11 @@ def forward(
                           prefill, bias)
             return h, None
 
+        if remat:
+            # trade FLOPs for memory: recompute each layer in backward
+            # (the reference's gradient_checkpointing flag,
+            # train_qwen.py:1105-1111)
+            body = jax.checkpoint(body)
         x, _ = lax.scan(body, x, params["layers"])
         new_cache = None
     else:

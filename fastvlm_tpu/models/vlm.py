@@ -86,12 +86,27 @@ def encode_tiles(
 
 def _spliced_prompt_embeds(params, cfg, images, ids, image_starts,
                            vision_embeds=None):
+    """images: (B, H, W, 3) single image per row, or (B, M, H, W, 3)
+    multi-image rows (image_starts then (B, M), -1 for absent slots —
+    the reference's list/5-D batch path, llava_arch.py:154-165)."""
+    from fastvlm_tpu.ops.splice import overlay_image_embeds_multi
+
     text = qwen2.embed(params["decoder"], ids)
     cd = resolve_dtype(cfg.decoder.compute_dtype)
     text = text.astype(cd)
     if vision_embeds is not None:
-        text = overlay_image_embeds(text, vision_embeds.astype(cd), image_starts)
-    elif images is not None:
+        if vision_embeds.ndim == 4:
+            return overlay_image_embeds_multi(
+                text, vision_embeds.astype(cd), image_starts)
+        return overlay_image_embeds(text, vision_embeds.astype(cd),
+                                    image_starts)
+    if images is not None:
+        if images.ndim == 5:
+            b, m = images.shape[:2]
+            vis = encode_images(
+                params, cfg, images.reshape((b * m,) + images.shape[2:]))
+            vis = vis.reshape(b, m, vis.shape[1], vis.shape[2]).astype(cd)
+            return overlay_image_embeds_multi(text, vis, image_starts)
         vis = encode_images(params, cfg, images).astype(cd)
         text = overlay_image_embeds(text, vis, image_starts)
     return text

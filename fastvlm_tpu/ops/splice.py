@@ -39,11 +39,32 @@ def expand_image_ids(
         return np.asarray(ids, np.int32), -1
     pos = ids.index(image_token_index)
     if image_token_index in ids[pos + 1:]:
-        raise NotImplementedError(
-            "multiple <image> sentinels per row: use multi-image batching"
+        raise ValueError(
+            "multiple <image> sentinels in a single-image row; use "
+            "expand_image_ids_multi"
         )
     out = ids[:pos] + [pad_id] * num_image_tokens + ids[pos + 1:]
     return np.asarray(out, np.int32), pos
+
+
+def expand_image_ids_multi(
+    ids: Sequence[int],
+    num_image_tokens: int,
+    image_token_index: int = -200,
+    pad_id: int = 0,
+) -> Tuple[np.ndarray, List[int]]:
+    """Multi-image variant: every sentinel expands to N placeholder slots
+    (reference splice loop handles arbitrarily many -200s per row,
+    llava_arch.py:240-317). Returns (expanded_ids, [start0, start1, ...])."""
+    out: List[int] = []
+    starts: List[int] = []
+    for tok in ids:
+        if tok == image_token_index:
+            starts.append(len(out))
+            out.extend([pad_id] * num_image_tokens)
+        else:
+            out.append(tok)
+    return np.asarray(out, np.int32), starts
 
 
 def pad_batch(
@@ -84,3 +105,16 @@ def overlay_image_embeds(
     )                                                        # (B, T, D)
     return jnp.where(in_span[:, :, None], gathered.astype(text_embeds.dtype),
                      text_embeds)
+
+
+def overlay_image_embeds_multi(
+    text_embeds: jnp.ndarray,    # (B, T, D)
+    image_embeds: jnp.ndarray,   # (B, M, N, D) — M images per row
+    image_starts: jnp.ndarray,   # (B, M); -1 marks absent slots
+) -> jnp.ndarray:
+    """Overlay M image spans per row (one fused select per image)."""
+    m = image_embeds.shape[1]
+    out = text_embeds
+    for j in range(m):
+        out = overlay_image_embeds(out, image_embeds[:, j], image_starts[:, j])
+    return out

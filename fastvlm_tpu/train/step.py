@@ -46,6 +46,7 @@ def loss_fn(
     params: Any,
     cfg: FastVLMConfig,
     batch: Dict[str, jnp.ndarray],
+    remat: bool = True,
 ) -> jnp.ndarray:
     """batch: images (B,H,W,3) | None, ids (B,T), labels (B,T),
     image_starts (B,), attn_lens (B,)."""
@@ -57,7 +58,8 @@ def loss_fn(
     mask = qwen2.prefill_mask(batch["attn_lens"], t, t,
                               window=cfg.decoder.attn_window)
     hidden, _ = qwen2.forward(
-        params["decoder"], cfg.decoder, embeds, positions, mask=mask)
+        params["decoder"], cfg.decoder, embeds, positions, mask=mask,
+        remat=remat)
     logits = qwen2.logits_from_hidden(params["decoder"], hidden, cfg.decoder)
     # next-token prediction: logits[t] predicts labels[t+1]
     return cross_entropy(logits[:, :-1], batch["labels"][:, 1:])
