@@ -98,9 +98,49 @@ def preprocess_plain(
     return ids, labels
 
 
+V1_SYSTEM = (
+    "A chat between a curious human and an artificial intelligence assistant. "
+    "The assistant gives helpful, detailed, and polite answers to the human's "
+    "questions."
+)
+
+
+def preprocess_v1(
+    conversations: Sequence[Dict[str, str]],
+    tokenizer,
+    *,
+    max_len: Optional[int] = None,
+) -> Tuple[List[int], List[int]]:
+    """Vicuna-v1 rounds (reference preprocess_v1, train_qwen.py:396-474):
+    ``system USER: q ASSISTANT: a</s>`` with only the answers (+</s>) as
+    targets. Spans are tokenized at the "ASSISTANT:" boundary; BPE merges
+    across that boundary differ from whole-string tokenization by at most the
+    first answer token for some tokenizers — the reference has the same class
+    of issue and guards it (train_qwen.py:624-630)."""
+    ids: List[int] = []
+    labels: List[int] = []
+
+    def add(text: str, is_target: bool):
+        span = _tok(tokenizer, text)
+        ids.extend(span)
+        labels.extend(span if is_target else [IGNORE_INDEX] * len(span))
+
+    add(V1_SYSTEM + " ", False)
+    for turn in conversations:
+        if turn["from"] == "human":
+            add("USER: " + turn["value"] + " ", False)
+        else:
+            add("ASSISTANT:", False)
+            add(" " + turn["value"] + "</s>", True)
+    if max_len is not None:
+        ids, labels = ids[:max_len], labels[:max_len]
+    return ids, labels
+
+
 PREPROCESSORS = {
     "qwen_2": preprocess_qwen_2,
     "plain": preprocess_plain,
+    "v1": preprocess_v1,
 }
 
 

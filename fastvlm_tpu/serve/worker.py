@@ -157,7 +157,8 @@ def build_app(worker: ModelWorker) -> web.Application:
 
     @routes.post("/worker_get_conv_template")
     async def get_conv(request: web.Request):
-        return web.json_response({"conv": worker.engine.conv_mode})
+        return web.json_response(
+            {"conv": getattr(worker.engine, "conv_mode", "qwen_2")})
 
     app = web.Application()
     app.add_routes(routes)
