@@ -30,11 +30,12 @@ import numpy as np
 REFERENCE_TTFT_MS = 165.0  # docs/acc_vs_latency_qwen-2.png @ 1024^2
 
 
-def make_model(size: str, image_size: int, dtype: str):
+def make_model(size: str, image_size: int, dtype: str,
+               quantize_bits=None, fuse: bool = True):
     import jax
 
     from fastvlm_tpu import config as C
-    from fastvlm_tpu.models import vlm
+    from fastvlm_tpu.models import qwen2, vlm
 
     decoder = {
         "0.5b": C.qwen2_0_5b, "1.5b": C.qwen2_1_5b, "7b": C.qwen2_7b,
@@ -47,7 +48,24 @@ def make_model(size: str, image_size: int, dtype: str):
                                     hidden_size=decoder.hidden_size),
         decoder=decoder,
     )
-    params = vlm.init(jax.random.PRNGKey(0), cfg)
+    if quantize_bits:
+        # init on host (bf16 7B would OOM 16GB HBM before quantization),
+        # quantize there, then ship the int8/int4 tree to the chip
+        from fastvlm_tpu.ops.quant import quantize_decoder
+
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            params = vlm.init(jax.random.PRNGKey(0), cfg)
+            params = dict(params)
+            params["decoder"] = quantize_decoder(params["decoder"],
+                                                 quantize_bits)
+        params = jax.device_put(params, jax.devices()[0])
+    else:
+        params = vlm.init(jax.random.PRNGKey(0), cfg)
+        if fuse:
+            params = dict(params)
+            params["decoder"] = qwen2.fuse_decoder_params(params["decoder"],
+                                                          decoder)
     return cfg, params
 
 
@@ -195,13 +213,8 @@ def main(argv=None) -> int:
         mode = c["mode"]
         args.quantize_bits = c.get("quantize_bits", args.quantize_bits)
 
-    cfg, params = make_model(args.size, args.image_size, args.dtype)
-    if args.quantize_bits:
-        from fastvlm_tpu.ops.quant import quantize_decoder
-
-        params = dict(params)
-        params["decoder"] = quantize_decoder(params["decoder"],
-                                             args.quantize_bits)
+    cfg, params = make_model(args.size, args.image_size, args.dtype,
+                             quantize_bits=args.quantize_bits)
 
     if mode == "video":
         p50, times = bench_video(cfg, params)

@@ -52,6 +52,20 @@ class CLIPViTConfig:
         mult = max(len(self.s2_scales), 1)
         return self.hidden_size * mult
 
+    # interface aliases shared with FastViTConfig (vlm/anyres plumbing)
+    @property
+    def num_tokens(self) -> int:
+        n = self.num_patches
+        return n + 1 if self.select_feature == "cls_patch" else n
+
+    @property
+    def grid_size(self) -> int:
+        return self.grid
+
+    @property
+    def out_channels(self) -> int:
+        return self.out_hidden_size
+
 
 def quick_gelu(x):
     xf = x.astype(jnp.float32)

@@ -154,14 +154,43 @@ def _attend(q, k, v, mask, bias=None):
     return out.reshape(b, t, hq * d)
 
 
+def fuse_decoder_params(params: Params, cfg: Qwen2Config) -> Params:
+    """Concatenate q/k/v -> qkv and gate/up -> gateup weights.
+
+    One matmul instead of three/two per layer — fewer tiny MXU launches at
+    decode (T=1). Single-chip serving only: TP sharding wants the unfused
+    layout (the concat axis would split unevenly across q/k/v)."""
+    layers = dict(params["layers"])
+    qkv = {"w": jnp.concatenate(
+        [layers["q"]["w"], layers["k"]["w"], layers["v"]["w"]], axis=-1)}
+    if "b" in layers["q"]:
+        qkv["b"] = jnp.concatenate(
+            [layers["q"]["b"], layers["k"]["b"], layers["v"]["b"]], axis=-1)
+    layers["qkv"] = qkv
+    layers["gateup"] = {"w": jnp.concatenate(
+        [layers["gate"]["w"], layers["up"]["w"]], axis=-1)}
+    for k in ("q", "k", "v", "gate", "up"):
+        del layers[k]
+    out = dict(params)
+    out["layers"] = layers
+    return out
+
+
 def _layer(x, lp, cfg: Qwen2Config, cos, sin, cache_k, cache_v, mask, lengths,
            prefill, bias=None, prefill_offset=0):
     """One decoder layer. cache_k/v: (B, S_max, Hkv, D) or None (no-cache)."""
     b, t, d = x.shape
     h = rms_norm(x, lp["ln1"], cfg.rms_eps)
-    q = _project(h, lp["q"]).reshape(b, t, cfg.num_heads, cfg.head_dim)
-    k = _project(h, lp["k"]).reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
-    v = _project(h, lp["v"]).reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
+    if "qkv" in lp:
+        qkv = _project(h, lp["qkv"])
+        q, k, v = jnp.split(qkv, [cfg.q_dim, cfg.q_dim + cfg.kv_dim], axis=-1)
+        q = q.reshape(b, t, cfg.num_heads, cfg.head_dim)
+        k = k.reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
+        v = v.reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
+    else:
+        q = _project(h, lp["q"]).reshape(b, t, cfg.num_heads, cfg.head_dim)
+        k = _project(h, lp["k"]).reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
+        v = _project(h, lp["v"]).reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
     if cfg.pos_emb == "rope":
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
@@ -182,9 +211,14 @@ def _layer(x, lp, cfg: Qwen2Config, cos, sin, cache_k, cache_v, mask, lengths,
     x = x + _project(attn, lp["o"]).reshape(b, t, d)
 
     h = rms_norm(x, lp["ln2"], cfg.rms_eps)
-    gated = jax.nn.silu(
-        _project(h, lp["gate"]).astype(jnp.float32)
-    ).astype(h.dtype) * _project(h, lp["up"])
+    if "gateup" in lp:
+        gu = _project(h, lp["gateup"])
+        gate, up = jnp.split(gu, 2, axis=-1)
+        gated = jax.nn.silu(gate.astype(jnp.float32)).astype(h.dtype) * up
+    else:
+        gated = jax.nn.silu(
+            _project(h, lp["gate"]).astype(jnp.float32)
+        ).astype(h.dtype) * _project(h, lp["up"])
     x = x + _project(gated, lp["down"])
     return x, new_cache
 

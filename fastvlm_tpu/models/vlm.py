@@ -33,9 +33,15 @@ Params = Dict[str, Any]
 
 
 def init(key, cfg: FastVLMConfig) -> Params:
+    from fastvlm_tpu.models import clip_vit
+
     kv, kp, kd, kn = jax.random.split(key, 4)
+    if isinstance(cfg.vision, clip_vit.CLIPViTConfig):
+        vision = clip_vit.init(kv, cfg.vision)
+    else:
+        vision = fastvit.init(kv, cfg.vision)
     params = {
-        "vision": fastvit.init(kv, cfg.vision),
+        "vision": vision,
         "projector": projector.init(kp, cfg.projector),
         "decoder": qwen2.init(kd, cfg.decoder),
     }
@@ -48,12 +54,24 @@ def init(key, cfg: FastVLMConfig) -> Params:
     return params
 
 
+def _tower_features(params: Params, cfg: FastVLMConfig, images: jnp.ndarray):
+    """Dispatch on the vision config type: FastViTHD or CLIP ViT (+S2)
+    (reference build_vision_tower, multimodal_encoder/builder.py:6-19)."""
+    from fastvlm_tpu.models import clip_vit
+
+    if isinstance(cfg.vision, clip_vit.CLIPViTConfig):
+        if cfg.vision.s2_scales:
+            return clip_vit.features_s2(params["vision"], images, cfg.vision)
+        return clip_vit.features(params["vision"], images, cfg.vision)
+    return fastvit.apply(params["vision"], images, cfg.vision)
+
+
 def encode_images(params: Params, cfg: FastVLMConfig, images: jnp.ndarray) -> jnp.ndarray:
     """images (B, H, W, 3) -> projected vision embeddings (B, N, hidden).
 
     Tower forward + feature_select + mm_projector in one fused graph
     (reference llava_arch.py:141-144 ``encode_images``)."""
-    feats = fastvit.apply(params["vision"], images, cfg.vision)
+    feats = _tower_features(params, cfg, images)
     return projector.apply(params["projector"], feats, cfg.projector)
 
 

@@ -73,3 +73,32 @@ def test_s2_multiscale_shapes():
     single = np.asarray(clip_vit.features(params, x, cfg))
     np.testing.assert_allclose(np.asarray(out[..., :cfg.hidden_size]),
                                single, rtol=1e-5, atol=1e-5)
+
+
+def test_clip_tower_in_vlm_generate():
+    """FastVLM with a CLIP ViT tower end-to-end (reference supports CLIP
+    towers via build_vision_tower dispatch)."""
+    import numpy as np
+
+    from fastvlm_tpu.config import FastVLMConfig, ProjectorConfig, Qwen2Config
+    from fastvlm_tpu.models import vlm
+    from fastvlm_tpu.ops.splice import expand_image_ids, pad_batch
+
+    vision = tiny_cfg()  # 28px, patch 14 -> 4 tokens, hidden 32
+    decoder = Qwen2Config(vocab_size=128, hidden_size=48, num_layers=2,
+                          num_heads=4, num_kv_heads=2, head_dim=12,
+                          intermediate_size=96)
+    cfg = FastVLMConfig(
+        vision=vision, decoder=decoder,
+        projector=ProjectorConfig(mm_hidden_size=vision.out_hidden_size,
+                                  hidden_size=48))
+    assert cfg.num_image_tokens == 4
+    params = vlm.init(jax.random.PRNGKey(0), cfg)
+    row, start = expand_image_ids([5, -200, 9], cfg.num_image_tokens)
+    ids, lens, starts = pad_batch([row], [start], 16)
+    images = jax.random.uniform(jax.random.PRNGKey(1), (1, 28, 28, 3))
+    res = vlm.generate(params, cfg, images, jnp.asarray(ids),
+                       jnp.asarray(lens), jnp.asarray(starts),
+                       jax.random.PRNGKey(2), max_new_tokens=3,
+                       eos_ids=(127,))
+    assert np.asarray(res.tokens).shape == (1, 3)

@@ -111,3 +111,18 @@ def test_alibi_runs_and_is_position_sensitive():
     # slopes: 4 heads -> [1/4, 1/16, 1/64, 1/256]
     np.testing.assert_allclose(np.asarray(qwen2.alibi_slopes(4)),
                                [0.25, 0.0625, 0.015625, 0.00390625])
+
+
+def test_fused_projections_match_unfused():
+    cfg = Qwen2Config(vocab_size=64, hidden_size=32, num_layers=2, num_heads=4,
+                      num_kv_heads=2, head_dim=8, intermediate_size=64,
+                      tie_word_embeddings=True)
+    params = qwen2.init(jax.random.PRNGKey(0), cfg)
+    fused = qwen2.fuse_decoder_params(params, cfg)
+    ids = np.array([[1, 5, 9, 33]], np.int32)
+    e = qwen2.embed(params, jnp.asarray(ids))
+    pos = jnp.arange(4)[None]
+    h1, _ = qwen2.forward(params, cfg, e, pos)
+    h2, _ = qwen2.forward(fused, cfg, e, pos)
+    np.testing.assert_allclose(np.asarray(h1), np.asarray(h2),
+                               rtol=1e-5, atol=1e-6)
