@@ -168,10 +168,10 @@ def bench_video(cfg, params, frames: int = 8):
     from fastvlm_tpu.video import VideoQA
 
     tok = ByteTokenizer()
-    engine = Engine(cfg, params, tok, eos_ids=(tok.eos_token_id,))
+    engine = Engine(cfg, params, tok, eos_ids=(tok.eos_token_id,), chunk=16)
     vq = VideoQA(engine, "What is happening?", max_new_tokens=32)
-    frame = np.random.RandomState(0).rand(
-        cfg.vision.image_size, cfg.vision.image_size, 3).astype(np.float32)
+    frame = np.random.RandomState(0).randint(
+        0, 256, (cfg.vision.image_size, cfg.vision.image_size, 3), np.uint8)
     vq.ask(frame)  # warm/compile
     times = []
     for _ in range(frames):
