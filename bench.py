@@ -49,16 +49,34 @@ def make_model(size: str, image_size: int, dtype: str,
         decoder=decoder,
     )
     if quantize_bits:
-        # init on host (bf16 7B would OOM 16GB HBM before quantization),
-        # quantize there, then ship the int8/int4 tree to the chip
+        # Build the quantized tree directly on host with numpy (bf16 7B
+        # would OOM the 16GB chip before quantization, and jax.random on
+        # this 1-core host takes minutes for 7.6B params). Benchmark
+        # timing only depends on shapes/dtypes, so weights are synthetic:
+        # int8/int4 values with unit scales.
+        import numpy as np
+        import jax.numpy as jnp
+
         from fastvlm_tpu.ops.quant import quantize_decoder
 
         cpu = jax.devices("cpu")[0]
         with jax.default_device(cpu):
-            params = vlm.init(jax.random.PRNGKey(0), cfg)
-            params = dict(params)
-            params["decoder"] = quantize_decoder(params["decoder"],
-                                                 quantize_bits)
+            abstract = jax.eval_shape(lambda k: vlm.init(k, cfg),
+                                      jax.random.PRNGKey(0))
+            rng = np.random.RandomState(0)
+
+            def materialize(a):
+                if a.dtype == jnp.int8:
+                    return jnp.asarray(
+                        rng.randint(-8, 8, a.shape, np.int8))
+                return jnp.asarray(
+                    (rng.rand(*a.shape) * 0.02).astype(np.float32), a.dtype)
+
+            qabstract = dict(abstract)
+            qabstract["decoder"] = jax.eval_shape(
+                lambda p: quantize_decoder(p, quantize_bits),
+                abstract["decoder"])
+            params = jax.tree.map(materialize, qabstract)
         params = jax.device_put(params, jax.devices()[0])
     else:
         params = vlm.init(jax.random.PRNGKey(0), cfg)

@@ -116,6 +116,12 @@ def _project(x, p):
         return quantized_matmul(x, p)
     out = jnp.einsum("btd,df->btf", x, p["w"].astype(x.dtype),
                      preferred_element_type=jnp.float32)
+    if "lora_a" in p:  # low-rank adapter path (train/lora.py)
+        low = jnp.einsum("btd,dr->btr", x, p["lora_a"].astype(x.dtype),
+                         preferred_element_type=jnp.float32).astype(x.dtype)
+        delta = jnp.einsum("btr,ro->bto", low, p["lora_b"].astype(x.dtype),
+                           preferred_element_type=jnp.float32)
+        out = out + p["lora_scale"].astype(jnp.float32) * delta
     if "b" in p:
         out = out + p["b"].astype(jnp.float32)
     return out.astype(x.dtype)

@@ -21,28 +21,30 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _quantize_array(w: np.ndarray, bits: int):
-    """w (..., cin, cout) -> (w_q int8 (..., cin', cout), scale (..., cout))."""
+def _quantize_array(w: jnp.ndarray, bits: int):
+    """w (..., cin, cout) -> (w_q int8 (..., cin', cout), scale (..., cout)).
+
+    Pure jnp: runs on host or device, and traces under jax.eval_shape/jit."""
     qmax = 127.0 if bits == 8 else 7.0
-    scale = np.abs(w).max(axis=-2) / qmax               # (..., cout)
-    scale = np.where(scale == 0, 1.0, scale)
-    q = np.clip(np.round(w / scale[..., None, :]), -qmax - 1, qmax)
-    q = q.astype(np.int8)
+    w = w.astype(jnp.float32)
+    scale = jnp.abs(w).max(axis=-2) / qmax              # (..., cout)
+    scale = jnp.where(scale == 0, 1.0, scale)
+    q = jnp.clip(jnp.round(w / scale[..., None, :]), -qmax - 1, qmax)
+    q = q.astype(jnp.int8)
     if bits == 8:
-        return q, scale.astype(np.float32)
+        return q, scale.astype(jnp.float32)
     if q.shape[-2] % 2:
         pad = [(0, 0)] * (q.ndim - 2) + [(0, 1), (0, 0)]
-        q = np.pad(q, pad)
+        q = jnp.pad(q, pad)
     low = q[..., 0::2, :] & 0x0F
     high = (q[..., 1::2, :] & 0x0F) << 4
-    return (low | high).astype(np.int8), scale.astype(np.float32)
+    return (low | high).astype(jnp.int8), scale.astype(jnp.float32)
 
 
 def quantize_linear(p: Dict[str, Any], bits: int = 8) -> Dict[str, Any]:
     """{"w": (..., cin, cout) float, "b"?} -> {"w_q", "scale", "b"?}."""
-    w_q, scale = _quantize_array(np.asarray(p["w"], np.float32), bits)
-    out: Dict[str, Any] = {"w_q": jnp.asarray(w_q),
-                           "scale": jnp.asarray(scale)}
+    w_q, scale = _quantize_array(jnp.asarray(p["w"]), bits)
+    out: Dict[str, Any] = {"w_q": w_q, "scale": scale}
     if "b" in p:
         out["b"] = p["b"]
     return out

@@ -45,6 +45,9 @@ def main(argv=None):
     parser.add_argument("--unfreeze-mm-vision-tower", action="store_true")
     parser.add_argument("--mm-projector-lr", type=float, default=None)
     parser.add_argument("--mm-vision-tower-lr", type=float, default=None)
+    parser.add_argument("--lora-enable", action="store_true")
+    parser.add_argument("--lora-r", type=int, default=8)
+    parser.add_argument("--lora-alpha", type=float, default=16.0)
     # parallelism
     parser.add_argument("--tp", type=int, default=1)
     parser.add_argument("--platform", default=None)
@@ -119,6 +122,9 @@ def main(argv=None):
         unfreeze_mm_vision_tower=args.unfreeze_mm_vision_tower,
         mm_projector_lr=args.mm_projector_lr,
         mm_vision_tower_lr=args.mm_vision_tower_lr,
+        lora_enable=args.lora_enable,
+        lora_r=args.lora_r,
+        lora_alpha=args.lora_alpha,
     )
     trainer = Trainer(cfg, params, dataset, train_args, mesh=mesh)
     result = trainer.train()

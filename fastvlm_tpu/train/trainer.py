@@ -42,6 +42,9 @@ class TrainingArguments:
     save_steps: int = 500
     log_steps: int = 10
     seed: int = 0
+    lora_enable: bool = False
+    lora_r: int = 8
+    lora_alpha: float = 16.0
     group_by_modality_length: bool = False
     tune_mm_mlp_adapter: bool = False   # adapter-only training + checkpoints
     freeze_mm_mlp_adapter: bool = False
@@ -75,6 +78,25 @@ class Trainer:
         steps_per_epoch = len(dataset) // args.batch_size
         total = args.max_steps or max(steps_per_epoch * args.num_epochs, 1)
         self.total_steps = total
+
+        if args.lora_enable:
+            from fastvlm_tpu.train import lora
+
+            params = dict(params)
+            params["decoder"] = lora.add_lora(
+                params["decoder"], jax.random.PRNGKey(args.seed),
+                r=args.lora_r, alpha=args.lora_alpha)
+            self.tx = lora.make_lora_optimizer(
+                params, lr=args.learning_rate,
+                weight_decay=args.weight_decay, grad_clip=args.grad_clip)
+            self.state = step_mod.make_train_state(params, self.tx)
+            self.sampler = LengthGroupedSampler(
+                dataset.modality_lengths if args.group_by_modality_length
+                else dataset.lengths,
+                args.batch_size,
+                group_by_modality=args.group_by_modality_length,
+                seed=args.seed)
+            return
 
         self.tx = step_mod.make_optimizer(
             args.learning_rate,
@@ -128,6 +150,16 @@ class Trainer:
         import orbax.checkpoint as ocp
 
         path = self._ckpt_dir(step)
+        if self.args.lora_enable:
+            # LoRA split save (reference train_qwen.py:1232-1242)
+            from fastvlm_tpu.train import lora
+
+            with ocp.StandardCheckpointer() as ck:
+                ck.save(os.path.join(path, "lora_adapters"),
+                        lora.split_lora_state(self.state.params["decoder"]),
+                        force=True)
+            logger.info("saved LoRA adapters %s", path)
+            return
         if self.args.tune_mm_mlp_adapter:
             # adapter-only checkpoint (reference llava_trainer.py:244-265)
             with ocp.StandardCheckpointer() as ck:
@@ -148,7 +180,19 @@ class Trainer:
             return 0
         step = int(os.path.basename(path).split("-")[1])
         with ocp.StandardCheckpointer() as ck:
-            if self.args.tune_mm_mlp_adapter:
+            if self.args.lora_enable:
+                from fastvlm_tpu.train import lora
+
+                dec = self.state.params["decoder"]
+                adapters = ck.restore(
+                    os.path.join(path, "lora_adapters"),
+                    lora.split_lora_state(dec))
+                layers = dict(dec["layers"])
+                for name, leaf in adapters.items():
+                    layers[name] = {**layers[name], **leaf}
+                params = dict(self.state.params)
+                params["decoder"] = {**dec, "layers": layers}
+            elif self.args.tune_mm_mlp_adapter:
                 proj = ck.restore(os.path.join(path, "mm_projector"),
                                   self.state.params["projector"])
                 params = dict(self.state.params)
