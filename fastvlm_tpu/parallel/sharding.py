@@ -72,3 +72,29 @@ def shard_vlm(params: Any, cfg: FastVLMConfig, mesh: Mesh) -> Any:
         params, specs,
         is_leaf=lambda x: isinstance(x, P),
     )
+
+
+def shard_opt_state_zero1(opt_state: Any, mesh: Mesh) -> Any:
+    """ZeRO-1-style optimizer-state sharding (SURVEY.md §2.4: the TPU
+    equivalent of the reference's DeepSpeed ZeRO optimizer partitioning).
+
+    Adam moments are as large as the params; with pure DP they are
+    replicated. This shards every moment leaf whose leading axis divides the
+    "data" axis across DP ranks — GSPMD inserts the gathers/scatters around
+    the (elementwise) optimizer update. Scalars/counts stay replicated."""
+    import numpy as np
+
+    from fastvlm_tpu.parallel.mesh import DATA_AXIS
+
+    dp = mesh.shape[DATA_AXIS]
+
+    def shard_leaf(x):
+        if not hasattr(x, "shape") or x.ndim == 0:
+            return x
+        if x.shape[0] % dp == 0 and x.shape[0] >= dp:
+            spec = P(DATA_AXIS, *([None] * (x.ndim - 1)))
+        else:
+            spec = P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree.map(shard_leaf, opt_state)

@@ -136,3 +136,52 @@ def test_frozen_vision_unchanged_after_step():
     state, _ = train_step_mod.train_step(state, cfg, tx, batch)
     after = jax.tree.map(np.asarray, state.params["vision"])
     jax.tree.map(np.testing.assert_array_equal, before, after)
+
+
+def test_zero1_opt_state_sharding_matches_replicated():
+    """Training with ZeRO-1-sharded optimizer state must produce identical
+    params to the replicated run."""
+    cfg = tiny_cfg(vocab=64)
+    params = vlm.init(jax.random.PRNGKey(0), cfg)
+    tx = train_step_mod.make_optimizer(lr=1e-3)
+
+    ids, lens, starts = _batch(cfg, 2)
+    ids = ids % 64
+    labels = np.where(np.arange(ids.shape[1])[None] < lens[:, None], ids, -100)
+    batch = {
+        "images": jax.random.uniform(jax.random.PRNGKey(1), (2, 128, 128, 3)),
+        "ids": jnp.asarray(ids), "labels": jnp.asarray(labels),
+        "image_starts": jnp.asarray(starts), "attn_lens": jnp.asarray(lens),
+    }
+
+    state_a = train_step_mod.make_train_state(params, tx)
+    state_a, loss_a = train_step_mod.train_step(state_a, cfg, tx, batch)
+
+    # train_step donates its input state; rebuild params for run B
+    params_b = vlm.init(jax.random.PRNGKey(0), cfg)
+    mesh = make_mesh(dp=8, tp=1)
+    state_b = train_step_mod.make_train_state(params_b, tx)
+    state_b = state_b._replace(
+        opt_state=sharding.shard_opt_state_zero1(state_b.opt_state, mesh))
+    state_b, loss_b = train_step_mod.train_step(state_b, cfg, tx, batch)
+
+    np.testing.assert_allclose(float(loss_a), float(loss_b), rtol=1e-6)
+    # sharded update reassociates float math; tolerance reflects that
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5),
+        state_a.params, state_b.params)
+
+
+def test_engine_bucketing_and_stop_strings():
+    from fastvlm_tpu.engine import build_engine
+
+    engine = build_engine(random_tiny=True)
+    # short and long prompts land in different buckets but both work
+    t1, s1 = engine.chat("hi", max_new_tokens=3)
+    t2, s2 = engine.chat("hi " * 40, max_new_tokens=3)
+    assert s2["prompt_tokens"] > s1["prompt_tokens"]
+    # stop string truncates the stream
+    text, _ = engine.generate(engine.build_prompt("hello"),
+                              max_new_tokens=8, stop_strings=["\n"])
+    assert "\n" not in text
