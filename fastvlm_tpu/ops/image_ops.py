@@ -74,7 +74,8 @@ def preprocess(image: jnp.ndarray, image_size: int, mode: str = "pad") -> jnp.nd
     else:
         x = resize_shortest_edge(x, image_size)
         x = center_crop(x, image_size)
-    return x[None]
+    # clip bicubic overshoot (PIL clips at uint8 per pass)
+    return jnp.clip(x, 0.0, 1.0)[None]
 
 
 def anyres_tiles(
