@@ -129,6 +129,53 @@ class ModelWorker:
             yield chunk(f"{SERVER_ERROR_MSG} ({e})", code)
 
 
+def _iter_json_chunks(piece: bytes):
+    from fastvlm_tpu.serve.protocol import iter_chunks
+
+    return iter_chunks([piece])
+
+
+def _openai_to_worker_payload(body: dict, worker: ModelWorker) -> dict:
+    """OpenAI chat body -> our worker payload (template-rendered prompt +
+    b64 images)."""
+    from fastvlm_tpu.data.constants import DEFAULT_IMAGE_TOKEN
+    from fastvlm_tpu.data.conversation import conv_templates
+
+    conv = conv_templates[getattr(worker.engine, "conv_mode", "qwen_2")].copy()
+    images = []
+    for m in body.get("messages", []):
+        role = m.get("role", "user")
+        content = m.get("content", "")
+        text_parts = []
+        if isinstance(content, list):
+            for part in content:
+                if part.get("type") == "text":
+                    text_parts.append(part.get("text", ""))
+                elif part.get("type") == "image_url":
+                    url = part.get("image_url", {}).get("url", "")
+                    b64 = url.split(",", 1)[1] if url.startswith("data:") else url
+                    images.append(b64)
+                    text_parts.append(DEFAULT_IMAGE_TOKEN)
+        else:
+            text_parts.append(str(content))
+        text = "\n".join(t for t in text_parts if t)
+        if role == "system":
+            conv.system = "<|im_start|>system\n" + text
+        elif role == "assistant":
+            conv.append_message(conv.roles[1], text)
+        else:
+            conv.append_message(conv.roles[0], text)
+    conv.append_message(conv.roles[1], None)
+    return {
+        "prompt": conv.get_prompt(),
+        "images": images,
+        "temperature": float(body.get("temperature", 0.0) or 0.0),
+        "top_p": float(body.get("top_p", 1.0) or 1.0),
+        "max_new_tokens": int(body.get("max_tokens") or 256),
+        "stop": body.get("stop"),
+    }
+
+
 def build_app(worker: ModelWorker) -> web.Application:
     routes = web.RouteTableDef()
 
@@ -154,6 +201,67 @@ def build_app(worker: ModelWorker) -> web.Application:
     @routes.post("/worker_get_status")
     async def get_status(request: web.Request):
         return web.json_response(worker.status())
+
+    @routes.post("/v1/chat/completions")
+    async def openai_chat(request: web.Request):
+        """OpenAI-compatible endpoint (SSE when stream=true). Image content
+        parts accept data: URIs or raw base64."""
+        body = await request.json()
+        payload = _openai_to_worker_payload(body, worker)
+        stream = bool(body.get("stream", False))
+        created = int(time.time())
+        rid = "chatcmpl-" + uuid.uuid4().hex[:12]
+        model = body.get("model", worker.model_name)
+
+        loop = asyncio.get_event_loop()
+        gen = worker.generate_stream(payload)
+
+        if not stream:
+            last = {"text": "", "error_code": 0}
+            while True:
+                piece = await loop.run_in_executor(None, next, gen, None)
+                if piece is None:
+                    break
+                for msg in _iter_json_chunks(piece):
+                    last = msg
+            if last.get("error_code"):
+                return web.json_response(
+                    {"error": {"message": last["text"]}}, status=500)
+            return web.json_response({
+                "id": rid, "object": "chat.completion", "created": created,
+                "model": model,
+                "choices": [{"index": 0, "finish_reason": "stop",
+                             "message": {"role": "assistant",
+                                         "content": last["text"]}}],
+            })
+
+        resp = web.StreamResponse(headers={"Content-Type": "text/event-stream"})
+        await resp.prepare(request)
+        sent = 0
+        while True:
+            piece = await loop.run_in_executor(None, next, gen, None)
+            if piece is None:
+                break
+            for msg in _iter_json_chunks(piece):
+                delta = msg["text"][sent:]
+                sent = len(msg["text"])
+                if not delta and not msg.get("error_code"):
+                    continue
+                event = {
+                    "id": rid, "object": "chat.completion.chunk",
+                    "created": created, "model": model,
+                    "choices": [{"index": 0, "delta": {"content": delta},
+                                 "finish_reason": None}],
+                }
+                await resp.write(b"data: " + json.dumps(event).encode() + b"\n\n")
+        done_event = {
+            "id": rid, "object": "chat.completion.chunk", "created": created,
+            "model": model,
+            "choices": [{"index": 0, "delta": {}, "finish_reason": "stop"}],
+        }
+        await resp.write(b"data: " + json.dumps(done_event).encode() + b"\n\n")
+        await resp.write(b"data: [DONE]\n\n")
+        return resp
 
     @routes.post("/worker_get_conv_template")
     async def get_conv(request: web.Request):

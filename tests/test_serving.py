@@ -125,3 +125,45 @@ def test_controller_http_endpoints():
             await client.close()
 
     asyncio.run(run())
+
+
+def test_openai_compatible_endpoint():
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from fastvlm_tpu.engine import build_engine
+    from fastvlm_tpu.serve.worker import ModelWorker, build_app
+
+    engine = build_engine(random_tiny=True)
+    worker = ModelWorker(engine, "tiny")
+    app = build_app(worker)
+
+    async def run():
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            # non-streaming
+            resp = await client.post("/v1/chat/completions", json={
+                "model": "tiny",
+                "messages": [{"role": "user", "content": "hello"}],
+                "max_tokens": 4,
+            })
+            body = await resp.json()
+            assert body["object"] == "chat.completion"
+            assert body["choices"][0]["message"]["role"] == "assistant"
+
+            # streaming SSE
+            resp = await client.post("/v1/chat/completions", json={
+                "model": "tiny", "stream": True,
+                "messages": [{"role": "user", "content": "hello"}],
+                "max_tokens": 4,
+            })
+            raw = (await resp.read()).decode()
+            assert raw.strip().endswith("data: [DONE]")
+            events = [json.loads(l[6:]) for l in raw.splitlines()
+                      if l.startswith("data: ") and l != "data: [DONE]"]
+            assert events[-1]["choices"][0]["finish_reason"] == "stop"
+            return True
+        finally:
+            await client.close()
+
+    assert asyncio.run(run())
