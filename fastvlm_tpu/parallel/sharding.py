@@ -74,6 +74,30 @@ def shard_vlm(params: Any, cfg: FastVLMConfig, mesh: Mesh) -> Any:
     )
 
 
+def shard_vlm_fsdp(params: Any, mesh: Mesh, min_size: int = 2 ** 14) -> Any:
+    """FSDP-style fully-sharded parameters (the reference wraps the tower for
+    torch FSDP, llava_arch.py:61-68 / train_qwen.py:1168-1171; ZeRO-3 via
+    DeepSpeed): every large param is sharded over the "data" axis on its
+    largest divisible dim. GSPMD all-gathers just-in-time at each use site
+    and reduce-scatters gradients — the XLA-native form of FSDP."""
+    from fastvlm_tpu.parallel.mesh import DATA_AXIS
+
+    dp = mesh.shape[DATA_AXIS]
+
+    def shard_leaf(x):
+        if not hasattr(x, "shape") or x.size < min_size:
+            return jax.device_put(x, NamedSharding(mesh, P()))
+        dims = sorted(range(x.ndim), key=lambda d: -x.shape[d])
+        for d in dims:
+            if x.shape[d] % dp == 0:
+                spec = [None] * x.ndim
+                spec[d] = DATA_AXIS
+                return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+        return jax.device_put(x, NamedSharding(mesh, P()))
+
+    return jax.tree.map(shard_leaf, params)
+
+
 def shard_opt_state_zero1(opt_state: Any, mesh: Mesh) -> Any:
     """ZeRO-1-style optimizer-state sharding (SURVEY.md §2.4: the TPU
     equivalent of the reference's DeepSpeed ZeRO optimizer partitioning).

@@ -185,3 +185,34 @@ def test_engine_bucketing_and_stop_strings():
     text, _ = engine.generate(engine.build_prompt("hello"),
                               max_new_tokens=8, stop_strings=["\n"])
     assert "\n" not in text
+
+
+def test_fsdp_sharded_training_matches_replicated():
+    """FSDP-style fully-sharded params: same loss/params as replicated."""
+    cfg = tiny_cfg(vocab=64)
+    tx = train_step_mod.make_optimizer(lr=1e-3)
+
+    ids, lens, starts = _batch(cfg, 2)
+    ids = ids % 64
+    labels = np.where(np.arange(ids.shape[1])[None] < lens[:, None], ids, -100)
+    batch = {
+        "images": jax.random.uniform(jax.random.PRNGKey(1), (2, 128, 128, 3)),
+        "ids": jnp.asarray(ids), "labels": jnp.asarray(labels),
+        "image_starts": jnp.asarray(starts), "attn_lens": jnp.asarray(lens),
+    }
+
+    params_a = vlm.init(jax.random.PRNGKey(0), cfg)
+    state_a = train_step_mod.make_train_state(params_a, tx)
+    state_a, loss_a = train_step_mod.train_step(state_a, cfg, tx, batch)
+
+    mesh = make_mesh(dp=8, tp=1)
+    params_b = sharding.shard_vlm_fsdp(
+        vlm.init(jax.random.PRNGKey(0), cfg), mesh, min_size=64)
+    state_b = train_step_mod.make_train_state(params_b, tx)
+    state_b, loss_b = train_step_mod.train_step(state_b, cfg, tx, batch)
+
+    np.testing.assert_allclose(float(loss_a), float(loss_b), rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5),
+        state_a.params, state_b.params)
