@@ -137,10 +137,77 @@ def preprocess_v1(
     return ids, labels
 
 
+def preprocess_llama_2(
+    conversations: Sequence[Dict[str, str]],
+    tokenizer,
+    *,
+    max_len: Optional[int] = None,
+    system: Optional[str] = None,
+) -> Tuple[List[int], List[int]]:
+    """Llama-2 chat rounds (reference preprocess_llama_2, train_qwen.py:313-393):
+    ``[INST] <<SYS>>...<</SYS>> q [/INST] a </s>``; answers (+</s>) are the
+    only targets."""
+    from fastvlm_tpu.data.conversation import conv_llama_2
+
+    sys_msg = system if system is not None else conv_llama_2.system
+    wrap = f"<<SYS>>\n{sys_msg}\n<</SYS>>\n\n" if sys_msg else ""
+    ids: List[int] = []
+    labels: List[int] = []
+
+    def add(text: str, is_target: bool):
+        span = _tok(tokenizer, text)
+        ids.extend(span)
+        labels.extend(span if is_target else [IGNORE_INDEX] * len(span))
+
+    first = True
+    for turn in conversations:
+        if turn["from"] == "human":
+            q = (wrap if first else "") + turn["value"]
+            add(f"[INST] {q} [/INST]", False)
+            first = False
+        else:
+            add(f" {turn['value']} </s>", True)
+    if max_len is not None:
+        ids, labels = ids[:max_len], labels[:max_len]
+    return ids, labels
+
+
+def preprocess_mpt(
+    conversations: Sequence[Dict[str, str]],
+    tokenizer,
+    *,
+    max_len: Optional[int] = None,
+) -> Tuple[List[int], List[int]]:
+    """ChatML/MPT rounds (reference preprocess_mpt, train_qwen.py:477-524):
+    like qwen_2 but with the mpt system prompt and bare <|im_end|> separator."""
+    system = "<|im_start|>system\nAnswer the questions."
+    sep = "<|im_end|>"
+    ids: List[int] = []
+    labels: List[int] = []
+
+    def add(text: str, is_target: bool):
+        span = _tok(tokenizer, text)
+        ids.extend(span)
+        labels.extend(span if is_target else [IGNORE_INDEX] * len(span))
+
+    add(system + sep, False)
+    for turn in conversations:
+        if turn["from"] == "human":
+            add("<|im_start|>user\n" + turn["value"] + sep, False)
+        else:
+            add("<|im_start|>assistant\n", False)
+            add(turn["value"] + sep, True)
+    if max_len is not None:
+        ids, labels = ids[:max_len], labels[:max_len]
+    return ids, labels
+
+
 PREPROCESSORS = {
     "qwen_2": preprocess_qwen_2,
     "plain": preprocess_plain,
     "v1": preprocess_v1,
+    "llama_2": preprocess_llama_2,
+    "mpt": preprocess_mpt,
 }
 
 

@@ -146,3 +146,42 @@ def test_sampler_epoch_reshuffles():
     e1, e2 = list(sampler), list(sampler)
     assert sorted(e1) == sorted(e2)
     assert e1 != e2
+
+
+def test_llama2_and_mpt_masking():
+    from fastvlm_tpu.data.sft import preprocess_llama_2, preprocess_mpt
+
+    convs = [
+        {"from": "human", "value": "q1"},
+        {"from": "gpt", "value": "a1"},
+        {"from": "human", "value": "q2"},
+        {"from": "gpt", "value": "a2"},
+    ]
+    for fn in (preprocess_llama_2, preprocess_mpt):
+        ids, labels = fn(convs, TOK)
+        assert len(ids) == len(labels)
+        tgt = TOK.decode([l for l in labels if l != IGNORE_INDEX])
+        assert "a1" in tgt and "a2" in tgt
+        assert "q1" not in tgt and "q2" not in tgt
+
+
+def test_qwen2_template_renders_byte_exact():
+    """qwen_2 rendering must match the reference format exactly
+    (conversation.py:407-415 + QWEN_2 style :67-75)."""
+    from fastvlm_tpu.data.conversation import conv_templates
+
+    conv = conv_templates["qwen_2"].copy()
+    conv.append_message(conv.roles[0], "Describe.")
+    conv.append_message(conv.roles[1], None)
+    assert conv.get_prompt() == (
+        "<|im_start|>system\nYou are a helpful assistant.<|im_end|>\n"
+        "<|im_start|>user\nDescribe.<|im_end|>\n"
+        "<|im_start|>assistant\n"
+    )
+    conv.messages[-1][1] = "A cat."
+    conv.append_message(conv.roles[0], "Color?")
+    conv.append_message(conv.roles[1], None)
+    assert conv.get_prompt().endswith(
+        "<|im_start|>assistant\nA cat.<|im_end|>\n"
+        "<|im_start|>user\nColor?<|im_end|>\n"
+        "<|im_start|>assistant\n")
