@@ -44,14 +44,24 @@ class ModelWorker:
         worker_addr: str = "",
         controller_addr: Optional[str] = None,
         limit_concurrency: int = 5,
+        continuous_batching: bool = False,
     ):
         self.engine = engine
         self.model_name = model_name
         self.worker_id = uuid.uuid4().hex[:8]
         self.worker_addr = worker_addr
         self.controller_addr = controller_addr
-        self.semaphore = asyncio.Semaphore(limit_concurrency)
+        # with continuous batching the scheduler shares one decode loop
+        # across requests, so admission can be much wider
+        self.semaphore = asyncio.Semaphore(
+            max(limit_concurrency, 64) if continuous_batching
+            else limit_concurrency)
         self.queue_length = 0
+        self.scheduler = None
+        if continuous_batching and engine is not None:
+            from fastvlm_tpu.serve.batcher import BatchScheduler
+
+            self.scheduler = BatchScheduler(engine)
 
     # ---------------- status / heartbeat ----------------
 
@@ -116,10 +126,18 @@ class ModelWorker:
             stop_strings = [stop] if isinstance(stop, str) else list(stop or [])
             max_new = min(int(payload.get("max_new_tokens", 256)), 1024)
 
-            for update in self.engine.stream(
-                prompt, image, max_new_tokens=max_new, sampling=sampling,
-                stop_strings=stop_strings,
-            ):
+            if self.scheduler is not None:
+                stream = self.scheduler.submit(
+                    prompt, image, max_new_tokens=max_new, sampling=sampling,
+                    stop_strings=tuple(stop_strings))
+            else:
+                stream = self.engine.stream(
+                    prompt, image, max_new_tokens=max_new, sampling=sampling,
+                    stop_strings=stop_strings)
+            for update in stream:
+                if "error" in update:
+                    yield chunk(update["error"], ErrorCode.SERVER_ERROR)
+                    return
                 yield chunk(update["text"], ErrorCode.OK,
                             stats=update.get("stats", {}))
         except Exception as e:  # error envelope (model_worker.py:195-219)
@@ -293,6 +311,8 @@ def main(argv=None):
     parser.add_argument("--model-name", default=None)
     parser.add_argument("--random-weights", action="store_true")
     parser.add_argument("--limit-model-concurrency", type=int, default=5)
+    parser.add_argument("--continuous-batching", action="store_true",
+                        help="batch concurrent requests into one decode loop")
     parser.add_argument("--dtype", default="bfloat16")
     parser.add_argument("--platform", default=None,
                         help="force jax backend (cpu/axon/tpu)")
@@ -306,7 +326,8 @@ def main(argv=None):
     addr = args.worker_address or f"http://localhost:{args.port}"
     worker = ModelWorker(engine, name, worker_addr=addr,
                          controller_addr=args.controller_address,
-                         limit_concurrency=args.limit_model_concurrency)
+                         limit_concurrency=args.limit_model_concurrency,
+                         continuous_batching=args.continuous_batching)
     web.run_app(build_app(worker), host=args.host, port=args.port)
 
 

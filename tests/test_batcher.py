@@ -1,0 +1,93 @@
+"""Continuous-batching scheduler tests: batched greedy output must match
+serial engine output; concurrent requests share one decode loop."""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from fastvlm_tpu.engine import build_engine
+from fastvlm_tpu.serve.batcher import BatchScheduler
+
+
+@pytest.fixture(scope="module")
+def engine():
+    return build_engine(random_tiny=True)
+
+
+def test_single_request_matches_engine(engine):
+    sched = BatchScheduler(engine, window_ms=5)
+    try:
+        want, _ = engine.chat("hello there", max_new_tokens=5)
+        updates = list(sched.submit(engine.build_prompt("hello there"),
+                                    max_new_tokens=5))
+        assert "error" not in updates[-1], updates[-1]
+        assert updates[-1]["text"] == want
+        assert updates[0]["stats"]["ttft_ms"] > 0
+    finally:
+        sched.shutdown()
+
+
+def test_concurrent_requests_batched_and_correct(engine):
+    sched = BatchScheduler(engine, window_ms=120)
+    try:
+        prompts = ["alpha", "beta gamma", "delta"]
+        want = [engine.chat(p, max_new_tokens=4)[0] for p in prompts]
+
+        results = [None] * len(prompts)
+        batch_sizes = [None] * len(prompts)
+
+        def run(i):
+            last = None
+            for last in sched.submit(engine.build_prompt(prompts[i]),
+                                     max_new_tokens=4):
+                pass
+            assert "error" not in last, last
+            results[i] = last["text"]
+            batch_sizes[i] = last["stats"]["batch_size"]
+
+        threads = [threading.Thread(target=run, args=(i,))
+                   for i in range(len(prompts))]
+        for t in threads:
+            t.start()
+            time.sleep(0.01)  # arrive within the gather window
+        for t in threads:
+            t.join(timeout=120)
+        assert all(r is not None for r in results)
+        assert results == want, (results, want)
+        # at least two requests shared a batch
+        assert max(batch_sizes) >= 2, batch_sizes
+    finally:
+        sched.shutdown()
+
+
+def test_mixed_sampling_groups_split(engine):
+    from fastvlm_tpu.ops.sampling import SamplingParams
+
+    sched = BatchScheduler(engine, window_ms=60)
+    try:
+        out_greedy = []
+        out_sampled = []
+
+        def run_greedy():
+            for u in sched.submit(engine.build_prompt("x"), max_new_tokens=3):
+                out_greedy.append(u)
+
+        def run_sampled():
+            for u in sched.submit(engine.build_prompt("x"), max_new_tokens=3,
+                                  sampling=SamplingParams(temperature=1.0)):
+                out_sampled.append(u)
+
+        t1 = threading.Thread(target=run_greedy)
+        t2 = threading.Thread(target=run_sampled)
+        t1.start(); t2.start()
+        t1.join(timeout=120); t2.join(timeout=120)
+        assert out_greedy and out_sampled
+        assert "error" not in out_greedy[-1]
+        assert "error" not in out_sampled[-1]
+        # different sampling configs must not share a batch
+        assert out_greedy[-1]["stats"]["batch_size"] == 1
+        assert out_sampled[-1]["stats"]["batch_size"] == 1
+    finally:
+        sched.shutdown()
