@@ -122,6 +122,10 @@ class Engine:
         merged token count (grid-shape dependent), and the tower output is
         merged per cfg.mm_patch_merge_type before splicing."""
         cfg = self.cfg
+        if isinstance(image, (list, tuple)) and len(image) > 1:
+            return self._prepare_multi(prompt, list(image))
+        if isinstance(image, (list, tuple)):
+            image = image[0] if image else None
         anyres_mode = (cfg.image_aspect_ratio == "anyres"
                        and cfg.image_grid_pinpoints
                        and image is not None and hasattr(image, "convert"))
@@ -167,6 +171,45 @@ class Engine:
             "lens": jnp.asarray(lens),
             "starts": jnp.asarray(starts),
         }
+
+    def _prepare_multi(self, prompt: str, images_list):
+        """Multi-image prompts: one <image> sentinel per image; the tower
+        encodes all images in one call and spans are overlaid per image
+        (reference list/5-D path, llava_arch.py:154-165)."""
+        from fastvlm_tpu.ops.splice import expand_image_ids_multi
+
+        cfg = self.cfg
+        ids = tokenizer_image_token(prompt, self.tokenizer)
+        row, starts = expand_image_ids_multi(ids, cfg.num_image_tokens)
+        if len(starts) != len(images_list):
+            raise ValueError(
+                f"{len(images_list)} images but {len(starts)} <image> tokens")
+        pad_to = -(-(len(row) + 1) // self.bucket) * self.bucket
+        ids_a, lens, _ = pad_batch([row], [0], pad_to)
+
+        proc = np.stack([
+            process_images([im], self.processor, cfg)[0]
+            if hasattr(im, "convert") else np.asarray(im)
+            for im in images_list
+        ])
+        vis = self._encode_multi_jit(jnp.asarray(proc, self._dtype))
+        starts_arr = jnp.asarray(np.asarray(starts, np.int32)[None])
+        return {
+            "images": None,
+            "vision_embeds": vis[None],  # (1, M, N, D): multi-span overlay
+            "ids": jnp.asarray(ids_a),
+            "lens": jnp.asarray(lens),
+            "starts": starts_arr,
+        }
+
+    def _encode_multi_jit(self, images):
+        cfg = self.cfg
+
+        @jax.jit
+        def f(params, images):
+            return vlm.encode_images(params, cfg, images)
+
+        return f(self.params, images)
 
     def _encode_tiles_jit(self, tiles, grid_shape, original_size):
         import functools

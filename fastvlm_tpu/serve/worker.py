@@ -116,7 +116,8 @@ class ModelWorker:
             images_b64 = payload.get("images") or []
             image = None
             if images_b64:
-                image = self._decode_images(images_b64)[0]
+                decoded = self._decode_images(images_b64)
+                image = decoded if len(decoded) > 1 else decoded[0]
             temperature = float(payload.get("temperature", 0.0))
             sampling = SamplingParams(
                 temperature=temperature,

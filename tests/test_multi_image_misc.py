@@ -100,3 +100,26 @@ def test_add_special_tokens_grows_embeddings():
     mean = np.asarray(params["embed"]).mean(0)
     np.testing.assert_allclose(np.asarray(new_params["embed"][64]), mean,
                                rtol=1e-5, atol=1e-6)
+
+
+def test_engine_multi_image_prompt():
+    from PIL import Image
+
+    from fastvlm_tpu.engine import build_engine
+
+    engine = build_engine(random_tiny=True)
+    prompt = engine.build_prompt("Compare <image> with the first one.")
+    # build_prompt prepends one <image>; the user text adds a second
+    assert prompt.count("<image>") == 2
+    imgs = [Image.new("RGB", (64, 64), (250, 0, 0)),
+            Image.new("RGB", (64, 64), (0, 0, 250))]
+    text, stats = engine.generate(prompt, imgs, max_new_tokens=3)
+    assert stats["decode_tokens"] >= 0
+    # prompt must contain two full image spans
+    assert stats["prompt_tokens"] > 2 * engine.cfg.num_image_tokens
+
+    # image-count mismatch is a clear error
+    import pytest
+
+    with pytest.raises(ValueError):
+        engine.generate(prompt, [imgs[0]] * 3, max_new_tokens=2)
