@@ -96,7 +96,12 @@ class Engine:
         if eos_ids is None:
             eos = {getattr(tokenizer, "eos_token_id", None)}
             if hasattr(tokenizer, "convert_tokens_to_ids"):
-                eos.add(tokenizer.convert_tokens_to_ids("<|im_end|>"))
+                im_end = tokenizer.convert_tokens_to_ids("<|im_end|>")
+                # non-Qwen tokenizers map unknown strings to unk_token_id
+                # (0 for Llama) — adding that would stop on <unk>/token 0
+                unk = getattr(tokenizer, "unk_token_id", None)
+                if im_end is not None and im_end != unk:
+                    eos.add(im_end)
             eos_ids = tuple(i for i in eos if i is not None and i >= 0)
             if not eos_ids:
                 eos_ids = (QWEN_IM_END_ID,)

@@ -93,11 +93,14 @@ def encode_tiles(
     if merge == "flat":
         feats = anyres.merge_flat(grids)
     else:
+        unpad = "unpad" in merge
         feats = anyres.merge_spatial(
             grids, grid_shape,
-            image_newline=params.get("image_newline"),
+            # newline separators only exist for unpad merges
+            # (reference llava_arch.py:37-47 + merge branch)
+            image_newline=params.get("image_newline") if unpad else None,
             original_size=original_size,
-            unpad="unpad" in merge,
+            unpad=unpad,
         )
     return feats[None]
 

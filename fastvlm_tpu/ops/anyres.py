@@ -96,8 +96,12 @@ def num_merged_tokens(
     if merge_type == "flat":
         return (1 + gw * gh) * h * w
     gh_px, gw_px = gh * h, gw * w
+    newline = 0
     if "unpad" in merge_type:
         top, bottom, left, right = unpad_hw((gh_px, gw_px), original_size)
         gh_px, gw_px = bottom - top, right - left
-    newline = gh_px  # one per row
+        # image_newline row separators exist only for 'unpad' merges
+        # (reference creates the param iff 'unpad' in merge type,
+        # llava_arch.py:37-47, and only that branch appends it)
+        newline = gh_px
     return h * w + gh_px * gw_px + newline

@@ -95,7 +95,11 @@ def ffn_block_apply(t_grid, residual_grid, ffn_params, ls, *,
     w1 = ffn_params["fc1"]["w"].reshape(c, -1)
     w2 = ffn_params["fc2"]["w"].reshape(-1, c)
     n = b * h * w
+    # block_rows must divide n (e.g. 24x24 grids at 1536px give n=576):
+    # take the largest divisor of n not exceeding the request
     br = min(block_rows, n)
+    while n % br:
+        br -= 1
     out = fused_ffn(
         t_grid.reshape(n, c), residual_grid.reshape(n, c),
         w1, ffn_params["fc1"]["b"], w2, ffn_params["fc2"]["b"], ls,

@@ -54,14 +54,14 @@ def decoder_specs(cfg: Qwen2Config) -> Dict[str, Any]:
 
 
 def vlm_specs(cfg: FastVLMConfig, params: Any) -> Any:
-    """Full-tree PartitionSpecs: decoder TP'd, vision/projector replicated."""
-    replicate = jax.tree.map(lambda _: P(), {
-        "vision": params["vision"], "projector": params["projector"]})
-    return {
-        "vision": replicate["vision"],
-        "projector": replicate["projector"],
-        "decoder": decoder_specs(cfg.decoder),
+    """Full-tree PartitionSpecs: decoder TP'd, everything else replicated
+    (vision/projector/image_newline and any future top-level params)."""
+    specs = {
+        k: jax.tree.map(lambda _: P(), v)
+        for k, v in params.items() if k != "decoder"
     }
+    specs["decoder"] = decoder_specs(cfg.decoder)
+    return specs
 
 
 def shard_vlm(params: Any, cfg: FastVLMConfig, mesh: Mesh) -> Any:

@@ -99,7 +99,8 @@ def main(argv=None) -> int:
         tokenizer = AutoTokenizer.from_pretrained(args.model_path)
         eos = [tokenizer.eos_token_id]
         im_end = tokenizer.convert_tokens_to_ids("<|im_end|>")
-        if im_end is not None and im_end != tokenizer.eos_token_id:
+        unk = getattr(tokenizer, "unk_token_id", None)
+        if im_end is not None and im_end not in (tokenizer.eos_token_id, unk):
             eos.append(im_end)
         eos_ids = tuple(i for i in eos if i is not None)
 

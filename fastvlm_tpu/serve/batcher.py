@@ -142,11 +142,15 @@ class BatchScheduler:
         n_real = len(batch)
         b = _round_batch(n_real)
 
-        # per-request prep through the engine's own path
-        prepped = [engine.prepare(r.prompt, r.image) for r in batch]
-        if any(p.get("vision_embeds") is not None for p in prepped):
-            # anyres merges have ragged token counts: serve serially
-            for r, p in zip(batch, prepped):
+        # anyres merges have ragged token counts: serve serially, and detect
+        # it BEFORE prepare() so the vision tower runs exactly once per request
+        anyres = (cfg.image_aspect_ratio == "anyres"
+                  and cfg.image_grid_pinpoints
+                  and any(hasattr(r.image, "convert") for r in batch))
+        multi_image = any(isinstance(r.image, (list, tuple))
+                          and len(r.image) > 1 for r in batch)
+        if anyres or multi_image:
+            for r in batch:
                 for update in engine.stream(
                         r.prompt, r.image,
                         max_new_tokens=r.max_new_tokens, sampling=r.sampling,
@@ -154,6 +158,9 @@ class BatchScheduler:
                     r.out.put(update)
                 r.out.put(_SENTINEL)
             return
+
+        # per-request prep through the engine's own path
+        prepped = [engine.prepare(r.prompt, r.image) for r in batch]
         pad_to = max(int(p["ids"].shape[1]) for p in prepped)
         rows, starts_l, imgs = [], [], []
         s = cfg.vision.image_size

@@ -60,8 +60,10 @@ def main(argv=None):
         print("ASSISTANT: ", end="", flush=True)
         shown = 0
         last = None
+        # the rendered history keeps the <image> sentinel from turn 1, so the
+        # image must be passed on every turn (as the reference CLI does)
         for update in engine.stream(
-            prompt, image if first_turn else None,
+            prompt, image,
             max_new_tokens=args.max_new_tokens, sampling=sampling,
         ):
             text = update["text"]

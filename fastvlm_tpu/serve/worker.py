@@ -81,7 +81,16 @@ class ModelWorker:
 
     async def heartbeat_loop(self) -> None:
         async with aiohttp.ClientSession() as session:
-            await self.register(session)
+            # keep retrying the initial registration: the controller may not
+            # be up yet (reference re-registers on lost heartbeat,
+            # model_worker.py:105-106)
+            while True:
+                try:
+                    await self.register(session)
+                    break
+                except Exception as e:
+                    logger.warning("controller not reachable yet: %s", e)
+                    await asyncio.sleep(5)
             while True:
                 await asyncio.sleep(WORKER_HEART_BEAT_INTERVAL)
                 try:
@@ -233,54 +242,66 @@ def build_app(worker: ModelWorker) -> web.Application:
         model = body.get("model", worker.model_name)
 
         loop = asyncio.get_event_loop()
-        gen = worker.generate_stream(payload)
 
-        if not stream:
-            last = {"text": "", "error_code": 0}
-            while True:
-                piece = await loop.run_in_executor(None, next, gen, None)
-                if piece is None:
-                    break
-                for msg in _iter_json_chunks(piece):
-                    last = msg
-            if last.get("error_code"):
-                return web.json_response(
-                    {"error": {"message": last["text"]}}, status=500)
-            return web.json_response({
-                "id": rid, "object": "chat.completion", "created": created,
-                "model": model,
-                "choices": [{"index": 0, "finish_reason": "stop",
-                             "message": {"role": "assistant",
-                                         "content": last["text"]}}],
-            })
+        # same admission control + queue accounting as the native route
+        worker.queue_length += 1
+        try:
+            async with worker.semaphore:
+                gen = worker.generate_stream(payload)
 
-        resp = web.StreamResponse(headers={"Content-Type": "text/event-stream"})
-        await resp.prepare(request)
-        sent = 0
-        while True:
-            piece = await loop.run_in_executor(None, next, gen, None)
-            if piece is None:
-                break
-            for msg in _iter_json_chunks(piece):
-                delta = msg["text"][sent:]
-                sent = len(msg["text"])
-                if not delta and not msg.get("error_code"):
-                    continue
-                event = {
+                if not stream:
+                    last = {"text": "", "error_code": 0}
+                    while True:
+                        piece = await loop.run_in_executor(None, next, gen, None)
+                        if piece is None:
+                            break
+                        for msg in _iter_json_chunks(piece):
+                            last = msg
+                    if last.get("error_code"):
+                        return web.json_response(
+                            {"error": {"message": last["text"]}}, status=500)
+                    return web.json_response({
+                        "id": rid, "object": "chat.completion",
+                        "created": created, "model": model,
+                        "choices": [{"index": 0, "finish_reason": "stop",
+                                     "message": {"role": "assistant",
+                                                 "content": last["text"]}}],
+                    })
+
+                resp = web.StreamResponse(
+                    headers={"Content-Type": "text/event-stream"})
+                await resp.prepare(request)
+                sent = 0
+                while True:
+                    piece = await loop.run_in_executor(None, next, gen, None)
+                    if piece is None:
+                        break
+                    for msg in _iter_json_chunks(piece):
+                        delta = msg["text"][sent:]
+                        sent = len(msg["text"])
+                        if not delta and not msg.get("error_code"):
+                            continue
+                        event = {
+                            "id": rid, "object": "chat.completion.chunk",
+                            "created": created, "model": model,
+                            "choices": [{"index": 0,
+                                         "delta": {"content": delta},
+                                         "finish_reason": None}],
+                        }
+                        await resp.write(
+                            b"data: " + json.dumps(event).encode() + b"\n\n")
+                done_event = {
                     "id": rid, "object": "chat.completion.chunk",
                     "created": created, "model": model,
-                    "choices": [{"index": 0, "delta": {"content": delta},
-                                 "finish_reason": None}],
+                    "choices": [{"index": 0, "delta": {},
+                                 "finish_reason": "stop"}],
                 }
-                await resp.write(b"data: " + json.dumps(event).encode() + b"\n\n")
-        done_event = {
-            "id": rid, "object": "chat.completion.chunk", "created": created,
-            "model": model,
-            "choices": [{"index": 0, "delta": {}, "finish_reason": "stop"}],
-        }
-        await resp.write(b"data: " + json.dumps(done_event).encode() + b"\n\n")
-        await resp.write(b"data: [DONE]\n\n")
-        return resp
+                await resp.write(
+                    b"data: " + json.dumps(done_event).encode() + b"\n\n")
+                await resp.write(b"data: [DONE]\n\n")
+                return resp
+        finally:
+            worker.queue_length -= 1
 
     @routes.post("/worker_get_conv_template")
     async def get_conv(request: web.Request):

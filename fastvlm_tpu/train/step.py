@@ -77,6 +77,7 @@ def make_optimizer(
     vision_lr: Optional[float] = None,
     freeze_vision: bool = True,
     freeze_decoder: bool = False,
+    freeze_projector: bool = False,
     grad_clip: float = 1.0,
 ) -> optax.GradientTransformation:
     """Cosine-decay AdamW with per-module groups (reference
@@ -94,14 +95,23 @@ def make_optimizer(
             optax.adamw(sched(peak), b1=b1, b2=b2, weight_decay=weight_decay),
         )
 
+    # explicit None checks: an explicit 0.0 LR must not fall back to lr
     transforms = {
         "decoder": optax.set_to_zero() if freeze_decoder else adamw(lr),
-        "projector": adamw(projector_lr or lr),
-        "vision": optax.set_to_zero() if freeze_vision else adamw(vision_lr or lr),
+        "projector": optax.set_to_zero() if freeze_projector else adamw(
+            projector_lr if projector_lr is not None else lr),
+        "vision": optax.set_to_zero() if freeze_vision else adamw(
+            vision_lr if vision_lr is not None else lr),
     }
 
     def labeler(params):
-        return {k: jax.tree.map(lambda _: k, v) for k, v in params.items()}
+        # extra top-level params (e.g. image_newline for unpad merges) train
+        # with the decoder group
+        return {
+            k: jax.tree.map(
+                lambda _: k if k in transforms else "decoder", v)
+            for k, v in params.items()
+        }
 
     return optax.multi_transform(transforms, labeler)
 

@@ -110,16 +110,13 @@ class Trainer:
             grad_clip=args.grad_clip,
         )
         if args.freeze_mm_mlp_adapter:
-            # freeze adapter: re-route projector grads to zero
-            import optax
-
             self.tx = step_mod.make_optimizer(
                 args.learning_rate, weight_decay=args.weight_decay,
                 warmup_steps=int(args.warmup_ratio * total), total_steps=total,
                 freeze_vision=not args.unfreeze_mm_vision_tower,
                 freeze_decoder=args.tune_mm_mlp_adapter,
+                freeze_projector=True,
                 grad_clip=args.grad_clip,
-                projector_lr=0.0,
             )
         self.state = step_mod.make_train_state(params, self.tx)
         self.sampler = LengthGroupedSampler(
@@ -169,6 +166,10 @@ class Trainer:
             with ocp.StandardCheckpointer() as ck:
                 ck.save(os.path.join(path, "params"), self.state.params,
                         force=True)
+                # full checkpoints also carry optimizer state so resume
+                # continues the schedule/moments (HF Trainer behavior)
+                ck.save(os.path.join(path, "opt_state"),
+                        self.state.opt_state, force=True)
         logger.info("saved checkpoint %s", path)
 
     def resume(self) -> int:
@@ -200,6 +201,10 @@ class Trainer:
             else:
                 params = ck.restore(os.path.join(path, "params"),
                                     self.state.params)
+                opt_path = os.path.join(path, "opt_state")
+                if os.path.isdir(opt_path):
+                    opt_state = ck.restore(opt_path, self.state.opt_state)
+                    self.state = self.state._replace(opt_state=opt_state)
         self.state = self.state._replace(params=params,
                                          step=jnp.int32(step))
         logger.info("resumed from %s (step %d)", path, step)

@@ -216,3 +216,42 @@ def test_fsdp_sharded_training_matches_replicated():
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5),
         state_a.params, state_b.params)
+
+
+def test_freeze_projector_actually_freezes():
+    """Regression: freeze_projector (and explicit 0.0 LRs) must not fall
+    back to the base learning rate."""
+    cfg = tiny_cfg(vocab=64)
+    params = vlm.init(jax.random.PRNGKey(0), cfg)
+    tx = train_step_mod.make_optimizer(lr=1e-2, freeze_projector=True,
+                                       freeze_vision=True)
+    state = train_step_mod.make_train_state(params, tx)
+    before = jax.tree.map(np.asarray, state.params["projector"])
+
+    ids, lens, starts = _batch(cfg, 1)
+    ids = ids % 64
+    labels = np.where(np.arange(ids.shape[1])[None] < lens[:, None], ids, -100)
+    batch = {
+        "images": jax.random.uniform(jax.random.PRNGKey(1), (1, 128, 128, 3)),
+        "ids": jnp.asarray(ids), "labels": jnp.asarray(labels),
+        "image_starts": jnp.asarray(starts), "attn_lens": jnp.asarray(lens),
+    }
+    state, _ = train_step_mod.train_step(state, cfg, tx, batch)
+    after = jax.tree.map(np.asarray, state.params["projector"])
+    jax.tree.map(np.testing.assert_array_equal, before, after)
+
+
+def test_optimizer_handles_image_newline_param():
+    """Params with the top-level image_newline leaf (unpad merges) must
+    label/init/shard cleanly."""
+    import dataclasses
+
+    cfg = dataclasses.replace(tiny_cfg(vocab=64),
+                              mm_patch_merge_type="spatial_unpad")
+    params = vlm.init(jax.random.PRNGKey(0), cfg)
+    assert "image_newline" in params
+    tx = train_step_mod.make_optimizer(lr=1e-3)
+    tx.init(params)  # labeler must route the extra key
+    mesh = make_mesh(dp=2, tp=4)
+    sharded = sharding.shard_vlm(params, cfg, mesh)  # specs must cover it
+    assert "image_newline" in sharded
