@@ -64,6 +64,9 @@ def consolidate(params: Any) -> Any:
 
 
 def main(argv=None):
+    # delta tooling is host-side: pin to CPU so Orbax restores CPU-saved
+    # checkpoints regardless of what accelerator plugin is ambient
+    jax.config.update("jax_platforms", "cpu")
     from fastvlm_tpu.utils.checkpoint import restore_native, save_native
 
     parser = argparse.ArgumentParser()
