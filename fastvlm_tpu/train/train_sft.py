@@ -50,6 +50,12 @@ def main(argv=None):
     parser.add_argument("--lora-alpha", type=float, default=16.0)
     # parallelism
     parser.add_argument("--tp", type=int, default=1)
+    parser.add_argument("--zero1", action="store_true",
+                        help="shard optimizer state over the data axis")
+    parser.add_argument("--fsdp", action="store_true",
+                        help="fully shard params over the data axis")
+    parser.add_argument("--multihost", action="store_true",
+                        help="initialize jax.distributed before device use")
     parser.add_argument("--platform", default=None)
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
@@ -58,6 +64,10 @@ def main(argv=None):
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    if args.multihost:
+        from fastvlm_tpu.parallel.distributed import initialize
+
+        initialize()
 
     from fastvlm_tpu.data.preprocessing import ByteTokenizer, ImageProcessor
     from fastvlm_tpu.data.sft import DataArguments, SupervisedDataset
@@ -95,7 +105,10 @@ def main(argv=None):
     mesh = None
     if args.tp > 1 or len(jax.devices()) > 1:
         mesh = make_mesh(tp=args.tp)
-        params = sharding.shard_vlm(params, cfg, mesh)
+        if args.fsdp:
+            params = sharding.shard_vlm_fsdp(params, mesh)
+        else:
+            params = sharding.shard_vlm(params, cfg, mesh)
 
     data_args = DataArguments(
         data_path=args.data_path,
@@ -125,6 +138,7 @@ def main(argv=None):
         lora_enable=args.lora_enable,
         lora_r=args.lora_r,
         lora_alpha=args.lora_alpha,
+        zero1=args.zero1,
     )
     trainer = Trainer(cfg, params, dataset, train_args, mesh=mesh)
     result = trainer.train()

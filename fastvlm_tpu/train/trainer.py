@@ -45,6 +45,7 @@ class TrainingArguments:
     lora_enable: bool = False
     lora_r: int = 8
     lora_alpha: float = 16.0
+    zero1: bool = False  # shard optimizer state over the data axis
     group_by_modality_length: bool = False
     tune_mm_mlp_adapter: bool = False   # adapter-only training + checkpoints
     freeze_mm_mlp_adapter: bool = False
@@ -119,6 +120,11 @@ class Trainer:
                 grad_clip=args.grad_clip,
             )
         self.state = step_mod.make_train_state(params, self.tx)
+        if args.zero1 and mesh is not None:
+            from fastvlm_tpu.parallel.sharding import shard_opt_state_zero1
+
+            self.state = self.state._replace(
+                opt_state=shard_opt_state_zero1(self.state.opt_state, mesh))
         self.sampler = LengthGroupedSampler(
             dataset.modality_lengths if args.group_by_modality_length
             else dataset.lengths,
