@@ -65,6 +65,10 @@ def main(argv=None) -> int:
     import jax
     import jax.numpy as jnp
 
+    from fastvlm_tpu.engine import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from fastvlm_tpu.config import (
         FastViTConfig, FastVLMConfig, ProjectorConfig, Qwen2Config)
     from fastvlm_tpu.data.preprocessing import (
