@@ -289,6 +289,23 @@ class SupervisedDataset:
         path = record["image"]
         if record.get("_image_folder"):
             path = os.path.join(record["_image_folder"], path)
+
+        # fast path: native C++ JPEG decode + preprocess (keeps image work
+        # off the GIL); falls back to PIL on any failure
+        if (self.args.image_aspect_ratio == "pad"
+                and path.lower().endswith((".jpg", ".jpeg"))):
+            try:
+                from fastvlm_tpu.utils import native_image as ni
+
+                if ni.available():
+                    with open(path, "rb") as f:
+                        return ni.preprocess_jpeg_bytes(
+                            f.read(), self.image_processor.image_size,
+                            ni.MODE_PAD_SQUARE)
+            except Exception:
+                logger.debug("native image load failed for %s; using PIL",
+                             path, exc_info=True)
+
         image = Image.open(path).convert("RGB")
         if self.args.image_aspect_ratio == "pad":
             bg = tuple(int(x * 255) for x in self.image_processor.image_mean)
