@@ -222,9 +222,15 @@ class Trainer:
         args = self.args
         start_step = self.resume()
         step = start_step
-        losses: List[float] = []
+        last_loss = float("nan")
         t0 = time.time()
-        for epoch in range(args.num_epochs):
+        # with max_steps set, keep cycling epochs until the step budget is
+        # spent (the reference's HF Trainer max_steps semantics)
+        epoch = 0
+        while step < self.total_steps:
+            if args.max_steps is None and epoch >= args.num_epochs:
+                break
+            epoch += 1
             for batch in batches(self.dataset, self.sampler, args.batch_size,
                                  self.cfg.num_image_tokens):
                 if step >= self.total_steps:
@@ -234,13 +240,13 @@ class Trainer:
                     self.state, self.cfg, self.tx, jbatch)
                 step += 1
                 if step % args.log_steps == 0 or step == self.total_steps:
-                    l = float(np.asarray(loss))
-                    losses.append(l)
+                    last_loss = float(np.asarray(loss))
                     logger.info("step %d/%d loss %.4f (%.2f s/step)",
-                                step, self.total_steps, l,
+                                step, self.total_steps, last_loss,
                                 (time.time() - t0) / max(step - start_step, 1))
                 if args.save_steps and step % args.save_steps == 0:
                     self.save(step)
+        if np.isnan(last_loss) and step > start_step:
+            last_loss = float(np.asarray(loss))
         self.save(step)
-        return {"final_loss": losses[-1] if losses else float("nan"),
-                "steps": step}
+        return {"final_loss": last_loss, "steps": step}
