@@ -224,7 +224,8 @@ def decode_step(
     return logits[:, 0], cache
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "k", "eos_ids", "sampling"))
+@functools.partial(jax.jit, static_argnames=("cfg", "k", "eos_ids", "sampling"),
+                   donate_argnums=(4,))  # donate the cache: in-place updates
 def decode_chunk(
     params: Params,
     cfg: FastVLMConfig,
