@@ -162,8 +162,8 @@ def bench_decode(cfg, params, batch: int, steps: int = 64):
     tok = jnp.argmax(logits, -1).astype(jnp.int32)
     done = jnp.zeros((batch,), bool)
     key = jax.random.PRNGKey(0)
-    # warm the chunk fn
-    toks, done_, tok_, cache_, key_ = vlm.decode_chunk(
+    # warm the chunk fn (decode_chunk donates the cache: carry the returned one)
+    toks, done, tok, cache, key = vlm.decode_chunk(
         params, cfg, tok, done, cache, key, k=8, eos_ids=(-1,))
     sync(toks)
     t0 = time.perf_counter()
