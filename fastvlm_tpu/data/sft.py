@@ -41,11 +41,21 @@ QWEN_USER = "<|im_start|>user\n"
 QWEN_ASSISTANT = "<|im_start|>assistant\n"
 
 
-def _tok(tokenizer, text: str) -> List[int]:
-    """Tokenize one span, routing <image> through the sentinel splicer."""
+def _tok(tokenizer, text: str, *, first: bool = True) -> List[int]:
+    """Tokenize one span, routing <image> through the sentinel splicer.
+
+    The reference tokenizes whole conversations once, so a BOS-adding
+    tokenizer (Llama family) contributes exactly one BOS at sequence start.
+    Span-constructed masking must reproduce that: strip the leading BOS the
+    tokenizer injects on every call from all non-initial spans."""
     if DEFAULT_IMAGE_TOKEN in text:
-        return tokenizer_image_token(text, tokenizer)
-    return list(tokenizer(text).input_ids)
+        ids = tokenizer_image_token(text, tokenizer)
+    else:
+        ids = list(tokenizer(text).input_ids)
+    bos = getattr(tokenizer, "bos_token_id", None)
+    if not first and bos is not None and ids and ids[0] == bos:
+        ids = ids[1:]
+    return ids
 
 
 def preprocess_qwen_2(
@@ -61,21 +71,22 @@ def preprocess_qwen_2(
     ids: List[int] = []
     labels: List[int] = []
 
-    def add(span_ids: List[int], is_target: bool):
-        ids.extend(span_ids)
-        labels.extend(span_ids if is_target else [IGNORE_INDEX] * len(span_ids))
+    def add(text: str, is_target: bool):
+        span = _tok(tokenizer, text, first=not ids)
+        ids.extend(span)
+        labels.extend(span if is_target else [IGNORE_INDEX] * len(span))
 
-    add(_tok(tokenizer, QWEN_SYSTEM + QWEN_SEP), False)
+    add(QWEN_SYSTEM + QWEN_SEP, False)
     for turn in conversations:
         who = turn["from"]
         msg = turn["value"]
         if who == "human":
-            add(_tok(tokenizer, QWEN_USER + msg + QWEN_SEP), False)
+            add(QWEN_USER + msg + QWEN_SEP, False)
         elif who == "gpt":
-            add(_tok(tokenizer, QWEN_ASSISTANT), False)
-            add(_tok(tokenizer, msg + QWEN_SEP), True)
+            add(QWEN_ASSISTANT, False)
+            add(msg + QWEN_SEP, True)
         else:  # system override or unknown: mask
-            add(_tok(tokenizer, msg), False)
+            add(msg, False)
 
     if max_len is not None:
         ids, labels = ids[:max_len], labels[:max_len]
@@ -92,7 +103,7 @@ def preprocess_plain(
     source = DEFAULT_IMAGE_TOKEN
     target = conversations[1]["value"] + "\n"
     src_ids = _tok(tokenizer, source)
-    tgt_ids = _tok(tokenizer, target)
+    tgt_ids = _tok(tokenizer, target, first=False)
     ids = src_ids + tgt_ids
     labels = [IGNORE_INDEX] * len(src_ids) + tgt_ids
     return ids, labels
@@ -121,7 +132,7 @@ def preprocess_v1(
     labels: List[int] = []
 
     def add(text: str, is_target: bool):
-        span = _tok(tokenizer, text)
+        span = _tok(tokenizer, text, first=not ids)
         ids.extend(span)
         labels.extend(span if is_target else [IGNORE_INDEX] * len(span))
 
@@ -155,7 +166,7 @@ def preprocess_llama_2(
     labels: List[int] = []
 
     def add(text: str, is_target: bool):
-        span = _tok(tokenizer, text)
+        span = _tok(tokenizer, text, first=not ids)
         ids.extend(span)
         labels.extend(span if is_target else [IGNORE_INDEX] * len(span))
 
@@ -186,7 +197,7 @@ def preprocess_mpt(
     labels: List[int] = []
 
     def add(text: str, is_target: bool):
-        span = _tok(tokenizer, text)
+        span = _tok(tokenizer, text, first=not ids)
         ids.extend(span)
         labels.extend(span if is_target else [IGNORE_INDEX] * len(span))
 

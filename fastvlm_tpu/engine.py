@@ -118,6 +118,25 @@ class Engine:
         conv.append_message(conv.roles[1], None)
         return conv.get_prompt()
 
+    def prepare_array_image(self, image) -> jnp.ndarray:
+        """(H, W, 3) / (B, H, W, 3) uint8 or float array -> (B, S, S, 3)
+        model-dtype images. Non-native sizes are resized/padded on device
+        (ops/image_ops.preprocess) so the tower always emits
+        cfg.num_image_tokens tokens — raw camera frames of any size are fine
+        (ADVICE r1: arrays must not bypass preprocessing)."""
+        from fastvlm_tpu.ops import image_ops
+
+        arr = jnp.asarray(image)
+        if arr.ndim == 3:
+            arr = arr[None]
+        s = self.cfg.vision.image_size
+        if arr.shape[-3:-1] != (s, s):
+            mode = "pad" if self.cfg.image_aspect_ratio == "pad" else "none"
+            arr = image_ops.preprocess(arr, s, mode)
+        elif arr.dtype == jnp.uint8:
+            arr = image_ops.rescale(arr)
+        return arr.astype(self._dtype)
+
     def prepare(self, prompt: str, image=None):
         """prompt: full template string (may contain <image>); image: PIL or
         NHWC array or None. Returns (inputs dict) ready for prefill.
@@ -161,9 +180,7 @@ class Engine:
                     process_images([image], self.processor, self.cfg),
                     self._dtype)
             else:
-                images = jnp.asarray(image, self._dtype)
-                if images.ndim == 3:
-                    images = images[None]
+                images = self.prepare_array_image(image)
 
         ids = tokenizer_image_token(prompt, self.tokenizer)
         row, start = expand_image_ids(ids, n_img_tokens)
@@ -192,12 +209,12 @@ class Engine:
         pad_to = -(-(len(row) + 1) // self.bucket) * self.bucket
         ids_a, lens, _ = pad_batch([row], [0], pad_to)
 
-        proc = np.stack([
-            process_images([im], self.processor, cfg)[0]
-            if hasattr(im, "convert") else np.asarray(im)
+        proc = jnp.concatenate([
+            jnp.asarray(process_images([im], self.processor, cfg), self._dtype)
+            if hasattr(im, "convert") else self.prepare_array_image(im)
             for im in images_list
         ])
-        vis = self._encode_multi_jit(jnp.asarray(proc, self._dtype))
+        vis = self._encode_multi_jit(proc)
         starts_arr = jnp.asarray(np.asarray(starts, np.int32)[None])
         return {
             "images": None,
@@ -275,6 +292,7 @@ class Engine:
 
         t_dec = time.perf_counter()
         emitted = 1
+        decode_tokens = 0  # chunk slots actually consumed (incl. the EOS)
         while not done_host and emitted < max_new:
             k = min(self.chunk, max_new - emitted)
             toks, done, tok, cache, key = vlm.decode_chunk(
@@ -284,12 +302,13 @@ class Engine:
             emitted += k
             for tk in host_toks:
                 tk = int(tk)
+                decode_tokens += 1
                 if tk in self.eos_ids:  # post-EOS slots are masked to 0 on device
                     done_host = True
                     break
                 out_ids.append(tk)
             done_host = done_host or bool(_sync(done)[0])
-            stats.decode_tokens = len(out_ids)
+            stats.decode_tokens = decode_tokens
             stats.decode_ms = (time.perf_counter() - t_dec) * 1000
             text = self._decode_text(out_ids)
             for s in stop_strings:
@@ -376,7 +395,8 @@ def build_engine(model_path: Optional[str] = None, *, random_tiny: bool = False,
                                       hidden_size=64))
         params = vlm.init(jax.random.PRNGKey(0), cfg)
         tok = ByteTokenizer()
-        return Engine(cfg, params, tok, eos_ids=(tok.eos_token_id,), **engine_kw)
+        engine_kw.setdefault("eos_ids", (tok.eos_token_id,))
+        return Engine(cfg, params, tok, **engine_kw)
 
     from transformers import AutoTokenizer
 

@@ -22,9 +22,12 @@ import jax.numpy as jnp
 
 
 def rescale(x: jnp.ndarray) -> jnp.ndarray:
-    """uint8/float [0,255] -> float32 [0,1] (mean 0 / std 1: no normalization,
-    reference mobileclip_encoder.py:45-49)."""
-    return x.astype(jnp.float32) / 255.0
+    """uint8 [0,255] -> float32 [0,1]; float inputs are assumed already
+    rescaled and pass through (mean 0 / std 1: no normalization,
+    reference mobileclip_encoder.py:45-49). Dtype dispatch is trace-static."""
+    if x.dtype == jnp.uint8:
+        return x.astype(jnp.float32) / 255.0
+    return x.astype(jnp.float32)
 
 
 def resize_bicubic(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
@@ -62,7 +65,8 @@ def pad_to_square(x: jnp.ndarray, fill: float = 0.0) -> jnp.ndarray:
 
 @functools.partial(jax.jit, static_argnames=("image_size", "mode"))
 def preprocess(image: jnp.ndarray, image_size: int, mode: str = "pad") -> jnp.ndarray:
-    """(H, W, 3) uint8/float -> (1, S, S, 3) float32 in [0,1], fused on device.
+    """(H, W, 3) or (B, H, W, 3) uint8/float -> (B, S, S, 3) float32 in
+    [0,1], fused on device (B=1 for unbatched input).
 
     mode 'pad':  expand2square -> resize -> (crop no-op)    [FastVLM default]
     mode 'none': resize shortest edge -> center crop
@@ -75,7 +79,8 @@ def preprocess(image: jnp.ndarray, image_size: int, mode: str = "pad") -> jnp.nd
         x = resize_shortest_edge(x, image_size)
         x = center_crop(x, image_size)
     # clip bicubic overshoot (PIL clips at uint8 per pass)
-    return jnp.clip(x, 0.0, 1.0)[None]
+    x = jnp.clip(x, 0.0, 1.0)
+    return x if x.ndim == 4 else x[None]
 
 
 def anyres_tiles(

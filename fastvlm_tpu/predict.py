@@ -62,67 +62,31 @@ def main(argv=None) -> int:
     parser.add_argument("--timing", action="store_true")
     args = parser.parse_args(argv)
 
-    import jax
-    import jax.numpy as jnp
-
-    from fastvlm_tpu.engine import enable_compilation_cache
-
-    enable_compilation_cache()
-
-    from fastvlm_tpu.config import (
-        FastViTConfig, FastVLMConfig, ProjectorConfig, Qwen2Config)
-    from fastvlm_tpu.data.preprocessing import (
-        ByteTokenizer, ImageProcessor, process_images, tokenizer_image_token)
-    from fastvlm_tpu.models import vlm
+    from fastvlm_tpu.engine import build_engine
     from fastvlm_tpu.ops.sampling import SamplingParams
-    from fastvlm_tpu.ops.splice import expand_image_ids, pad_batch
 
+    # Route through the Engine: Engine.prepare handles pad AND anyres
+    # checkpoints (tile stacks + merged token counts); calling vlm.generate
+    # directly would mis-splice anyres tile batches (ADVICE r1).
     if args.random_weights:
-        vision = FastViTConfig(layers=(1, 1, 1, 1, 1),
-                               embed_dims=(8, 16, 32, 64, 128),
-                               image_size=256, attn_head_dim=16)
-        decoder = Qwen2Config(vocab_size=258, hidden_size=64, num_layers=2,
-                              num_heads=4, num_kv_heads=2, head_dim=16,
-                              intermediate_size=128)
-        cfg = FastVLMConfig(
-            vision=vision, decoder=decoder,
-            projector=ProjectorConfig(mm_hidden_size=vision.out_channels,
-                                      hidden_size=64))
-        params = vlm.init(jax.random.PRNGKey(0), cfg)
-        tokenizer = ByteTokenizer()
-        eos_ids = (tokenizer.eos_token_id,)
+        engine = build_engine(random_tiny=True, conv_mode=args.conv_mode)
     else:
         if not args.model_path:
             parser.error("--model-path required (or use --random-weights)")
-        from transformers import AutoTokenizer
-
-        from fastvlm_tpu.utils.checkpoint import load_vlm
-
-        dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[args.dtype]
-        cfg, params = load_vlm(args.model_path, dtype=dtype)
-        tokenizer = AutoTokenizer.from_pretrained(args.model_path)
-        eos = [tokenizer.eos_token_id]
-        im_end = tokenizer.convert_tokens_to_ids("<|im_end|>")
-        unk = getattr(tokenizer, "unk_token_id", None)
-        if im_end is not None and im_end not in (tokenizer.eos_token_id, unk):
-            eos.append(im_end)
-        eos_ids = tuple(i for i in eos if i is not None)
+        engine = build_engine(args.model_path, dtype=args.dtype,
+                              conv_mode=args.conv_mode)
+    cfg = engine.cfg
 
     prompt = build_prompt(args.prompt, args.conv_mode)
-    ids = tokenizer_image_token(prompt, tokenizer)
-    row, start = expand_image_ids(ids, cfg.num_image_tokens)
-    bucket = round_up(len(row) + 1, 64)
-    ids_arr, lens, starts = pad_batch([row], [start], bucket)
 
     if args.image_file:
         from PIL import Image
 
         image = Image.open(args.image_file).convert("RGB")
-        proc = ImageProcessor(cfg.vision.image_size)
-        images = jnp.asarray(process_images([image], proc, cfg))
     else:
         # blank image (keeps the CLI usable for smoke tests without a file)
-        images = jnp.zeros((1, cfg.vision.image_size, cfg.vision.image_size, 3))
+        image = np.zeros(
+            (cfg.vision.image_size, cfg.vision.image_size, 3), np.float32)
 
     sampling = SamplingParams(
         temperature=args.temperature if args.temperature > 0 else 0.0,
@@ -130,22 +94,17 @@ def main(argv=None) -> int:
     )
 
     t0 = time.perf_counter()
-    res = vlm.generate(
-        params, cfg, images, jnp.asarray(ids_arr), jnp.asarray(lens),
-        jnp.asarray(starts), jax.random.PRNGKey(int(time.time()) % 2**31),
-        max_new_tokens=args.max_new_tokens, eos_ids=eos_ids, sampling=sampling)
-    tokens = np.asarray(res.tokens)[0]
-    n = int(np.asarray(res.num_generated)[0])
+    text, stats = engine.generate(
+        prompt, image, max_new_tokens=args.max_new_tokens, sampling=sampling)
     elapsed = time.perf_counter() - t0
-
-    out_ids = [int(t) for t in tokens[:n] if int(t) not in eos_ids]
-    print(tokenizer.decode(out_ids, skip_special_tokens=True).strip())
+    print(text.strip())
 
     if args.timing:
         print(json.dumps({
             "total_s": round(elapsed, 3),
-            "tokens": n,
-            "tok_per_s": round(n / elapsed, 2),
+            "ttft_ms": stats.get("ttft_ms"),
+            "tokens": stats.get("decode_tokens"),
+            "tok_per_s": stats.get("tok_per_s"),
         }), file=sys.stderr)
     return 0
 

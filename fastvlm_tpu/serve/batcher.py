@@ -235,10 +235,10 @@ class BatchScheduler:
                     continue
                 for t in host[i]:
                     t = int(t)
+                    # post-EOS pad slots are always preceded by the EOS token
+                    # in the same chunk, so breaking on EOS is sufficient —
+                    # no pad heuristic (token id 0 is a real Qwen2 token, '!')
                     if t in engine.eos_ids or emitted[i] >= caps[i]:
-                        finished[i] = True
-                        break
-                    if t == 0 and bool(np.asarray(done)[i]):
                         finished[i] = True
                         break
                     texts[i].append(t)

@@ -83,14 +83,6 @@ class VideoQA:
 
         self._suffix_prefill = _suffix_prefill
 
-        dtype = self._dtype
-
-        @jax.jit
-        def _rescale(frame_u8):
-            return (frame_u8.astype(jnp.float32) / 255.0).astype(dtype)
-
-        self._rescale_jit = _rescale
-
     def ask(self, frame) -> Tuple[str, Dict[str, Any]]:
         """frame: PIL image or (H, W, 3) array. Returns (answer, stats)."""
         engine = self.engine
@@ -102,14 +94,8 @@ class VideoQA:
                 process_images([frame], engine.processor, cfg), self._dtype)
         else:
             # uint8 frames ship 4x fewer bytes to the device and are
-            # rescaled there (camera frames are uint8 anyway)
-            frame = jnp.asarray(frame)
-            if frame.dtype == jnp.uint8:
-                images = self._rescale_jit(frame)
-            else:
-                images = frame.astype(self._dtype)
-            if images.ndim == 3:
-                images = images[None]
+            # rescaled (and, for non-native sizes, resized/padded) there
+            images = engine.prepare_array_image(frame)
 
         t0 = time.perf_counter()
         logits, cache = self._suffix_prefill(

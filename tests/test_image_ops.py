@@ -49,8 +49,14 @@ def test_preprocess_matches_host_path_closely():
 
 
 def test_anyres_tiles_device():
-    x = jnp.asarray(_smooth(300, 600), jnp.float32)
+    x = jnp.asarray(_smooth(300, 600))  # uint8: rescaled on device
     tiles = image_ops.anyres_tiles(x, 64, best_resolution=(128, 64))
     # global view + 2x1 grid
     assert tiles.shape == (3, 64, 64, 3)
     assert float(tiles.min()) >= 0.0 and float(tiles.max()) <= 1.0
+    # prescaled float input gives the identical result (rescale is
+    # dtype-dispatched: uint8 /255, float passes through)
+    tiles_f = image_ops.anyres_tiles(
+        jnp.asarray(x, jnp.float32) / 255.0, 64, best_resolution=(128, 64))
+    np.testing.assert_allclose(np.asarray(tiles), np.asarray(tiles_f),
+                               rtol=1e-5, atol=1e-6)

@@ -185,3 +185,53 @@ def test_qwen2_template_renders_byte_exact():
         "<|im_start|>assistant\nA cat.<|im_end|>\n"
         "<|im_start|>user\nColor?<|im_end|>\n"
         "<|im_start|>assistant\n")
+
+
+class BOSByteTokenizer(ByteTokenizer):
+    """ByteTokenizer that prepends BOS on every __call__, like HF Llama-family
+    tokenizers with add_special_tokens=True (ADVICE r1: span-constructed
+    masking must not inject BOS mid-sequence)."""
+
+    def __call__(self, text: str):
+        return self._Enc([self.bos_token_id] + list(text.encode("utf-8")))
+
+
+@pytest.mark.parametrize("version", ["qwen_2", "v1", "llama_2", "mpt", "plain"])
+def test_bos_tokenizer_single_bos_at_start(version):
+    from fastvlm_tpu.data.sft import PREPROCESSORS
+
+    tok = BOSByteTokenizer()
+    convs = [
+        {"from": "human", "value": "<image>\nwhat?"},
+        {"from": "gpt", "value": "a cat"},
+    ]
+    if version != "plain":
+        convs += [
+            {"from": "human", "value": "color?"},
+            {"from": "gpt", "value": "black"},
+        ]
+    ids, labels = PREPROCESSORS[version](convs, tok)
+    assert ids[0] == tok.bos_token_id
+    assert ids.count(tok.bos_token_id) == 1, ids
+    # BOS is never a learning target
+    assert labels[0] == IGNORE_INDEX
+    assert tok.bos_token_id not in [l for l in labels if l != IGNORE_INDEX]
+
+
+def test_bos_tokenizer_spans_match_whole_string():
+    """With a BOS-adding tokenizer, span concatenation must still equal the
+    reference's tokenize-once-over-the-rendered-conversation ids."""
+    from fastvlm_tpu.data.conversation import conv_templates
+    from fastvlm_tpu.data.preprocessing import tokenizer_image_token
+
+    tok = BOSByteTokenizer()
+    convs = [
+        {"from": "human", "value": "hello"},
+        {"from": "gpt", "value": "world"},
+    ]
+    ids, _ = preprocess_qwen_2(convs, tok)
+    conv = conv_templates["qwen_2"].copy()
+    conv.append_message(conv.roles[0], "hello")
+    conv.append_message(conv.roles[1], "world")
+    whole = tokenizer_image_token(conv.get_prompt(), tok)
+    assert ids == whole

@@ -78,3 +78,34 @@ def test_qa_over_stream():
     results = list(qa_over_stream(vq, frames, latest_only=False))
     assert len(results) == 3
     assert all(isinstance(t, str) for t, _ in results)
+
+
+def test_video_qa_nonsquare_uint8_frame_is_preprocessed():
+    """A raw camera frame at a non-native size must be resized/padded on
+    device so the tower emits exactly num_image_tokens (ADVICE r1: array
+    inputs previously bypassed preprocessing)."""
+    engine = build_engine(random_tiny=True)
+    vq = VideoQA(engine, "What?", max_new_tokens=4)
+
+    native = np.random.RandomState(0).rand(256, 256, 3).astype(np.float32)
+    odd = (np.random.RandomState(1).rand(480, 640, 3) * 255).astype(np.uint8)
+    a1, s1 = vq.ask(native)
+    a2, s2 = vq.ask(odd)  # must not crash or silently mis-splice
+    assert isinstance(a2, str) and s2["ttft_ms"] > 0
+
+    # uint8 vs prescaled float of the same content agree exactly
+    square = (np.random.RandomState(2).rand(256, 256, 3) * 255).astype(np.uint8)
+    a_u8, _ = vq.ask(square)
+    a_f32, _ = vq.ask(square.astype(np.float32) / 255.0)
+    assert a_u8 == a_f32
+
+
+def test_engine_prepare_array_image_shapes():
+    engine = build_engine(random_tiny=True)
+    s = engine.cfg.vision.image_size
+    for shape, dtype in [((s, s, 3), np.uint8), ((100, 300, 3), np.uint8),
+                         ((2, 77, 33, 3), np.float32)]:
+        arr = np.zeros(shape, dtype)
+        out = engine.prepare_array_image(arr)
+        b = shape[0] if len(shape) == 4 else 1
+        assert out.shape == (b, s, s, 3), (shape, out.shape)
