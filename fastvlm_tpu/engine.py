@@ -234,15 +234,44 @@ class Engine:
         return f(self.params, images)
 
     def _encode_tiles_jit(self, tiles, grid_shape, original_size):
-        import functools
+        """AnyRes encode as two jit units: the tower+projector keyed only by
+        tile count, and a cheap merge keyed by (grid_shape, crop_box). Exact
+        pixel sizes never key a compile — arbitrary upload sizes reuse the
+        one expensive tower program per grid shape (VERDICT r1 #4)."""
+        tower, merge, _ = self._tile_fns
+        grids = tower(self.params, tiles)
+        crop_box = None
+        if "unpad" in self.cfg.mm_patch_merge_type:
+            from fastvlm_tpu.ops.anyres import unpad_hw
 
-        cfg = self.cfg
+            h = w = self.cfg.vision.grid_size
+            gw, gh = grid_shape
+            crop_box = unpad_hw((gh * h, gw * w), original_size)
+        return merge(self.params, grids, grid_shape, crop_box)
 
-        @functools.partial(jax.jit, static_argnames=("grid_shape", "orig"))
-        def f(params, tiles, grid_shape, orig):
-            return vlm.encode_tiles(params, cfg, tiles, grid_shape, orig)
+    @property
+    def _tile_fns(self):
+        if not hasattr(self, "_tile_fns_cached"):
+            import functools
 
-        return f(self.params, tiles, grid_shape, original_size)
+            cfg = self.cfg
+            # trace-time side effects: count compiles for tests/diagnostics
+            counters = {"tower": 0, "merge": 0}
+
+            @jax.jit
+            def tower(params, tiles):
+                counters["tower"] += 1
+                return vlm.encode_tile_grids(params, cfg, tiles)
+
+            @functools.partial(jax.jit,
+                               static_argnames=("grid_shape", "crop_box"))
+            def merge(params, grids, grid_shape, crop_box):
+                counters["merge"] += 1
+                return vlm.merge_tile_grids(params, cfg, grids, grid_shape,
+                                            crop_box)
+
+            self._tile_fns_cached = (tower, merge, counters)
+        return self._tile_fns_cached
 
     # ---------------- generation ----------------
 

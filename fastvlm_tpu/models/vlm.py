@@ -75,20 +75,32 @@ def encode_images(params: Params, cfg: FastVLMConfig, images: jnp.ndarray) -> jn
     return projector.apply(params["projector"], feats, cfg.projector)
 
 
-def encode_tiles(
+def encode_tile_grids(
     params: Params,
     cfg: FastVLMConfig,
     tiles: jnp.ndarray,                  # (T, S, S, 3) global view + grid tiles
-    grid_shape: Tuple[int, int],         # (grid_w, grid_h) in tiles
-    original_size: Optional[Tuple[int, int]] = None,  # (width, height)
 ) -> jnp.ndarray:
-    """AnyRes encode: tower + projector per tile, then merge per
-    cfg.mm_patch_merge_type (reference llava_arch.py:154-208). Returns
-    (1, N, hidden). grid_shape/original_size are static (host-known)."""
+    """Tower + projector over the [global + tiles] stack -> (T, h, w, hidden)
+    feature grids. This is the HEAVY jit unit of the anyres path: its only
+    shape key is the tile count T, so every image whose anyres grid has the
+    same number of tiles reuses one tower compile regardless of pixel size."""
+    grids = fastvit.features_grid(params["vision"], tiles, cfg.vision)
+    return projector.apply(params["projector"], grids, cfg.projector)
+
+
+def merge_tile_grids(
+    params: Params,
+    cfg: FastVLMConfig,
+    grids: jnp.ndarray,                  # (T, h, w, hidden) from encode_tile_grids
+    grid_shape: Tuple[int, int],         # (grid_w, grid_h) in tiles
+    crop_box: Optional[Tuple[int, int, int, int]] = None,
+) -> jnp.ndarray:
+    """Merge tile features per cfg.mm_patch_merge_type (reference
+    llava_arch.py:154-208) -> (1, N, hidden). A LIGHT jit unit (slice +
+    concat): keyed on (grid_shape, crop_box), both host-known; compiles in
+    milliseconds, so per-aspect-ratio variation is cheap."""
     from fastvlm_tpu.ops import anyres
 
-    grids = fastvit.features_grid(params["vision"], tiles, cfg.vision)
-    grids = projector.apply(params["projector"], grids, cfg.projector)
     merge = cfg.mm_patch_merge_type
     if merge == "flat":
         feats = anyres.merge_flat(grids)
@@ -99,10 +111,32 @@ def encode_tiles(
             # newline separators only exist for unpad merges
             # (reference llava_arch.py:37-47 + merge branch)
             image_newline=params.get("image_newline") if unpad else None,
-            original_size=original_size,
+            crop_box=crop_box if unpad else None,
             unpad=unpad,
         )
     return feats[None]
+
+
+def encode_tiles(
+    params: Params,
+    cfg: FastVLMConfig,
+    tiles: jnp.ndarray,                  # (T, S, S, 3) global view + grid tiles
+    grid_shape: Tuple[int, int],         # (grid_w, grid_h) in tiles
+    original_size: Optional[Tuple[int, int]] = None,  # (width, height)
+) -> jnp.ndarray:
+    """AnyRes encode: tower + projector per tile, then merge per
+    cfg.mm_patch_merge_type. Convenience composition of encode_tile_grids +
+    merge_tile_grids; the Engine jits the two halves separately so the tower
+    compile is NOT keyed on the exact image size (VERDICT r1 #4)."""
+    from fastvlm_tpu.ops import anyres
+
+    grids = encode_tile_grids(params, cfg, tiles)
+    crop_box = None
+    if "unpad" in cfg.mm_patch_merge_type and original_size is not None:
+        h = w = cfg.vision.grid_size
+        gw, gh = grid_shape
+        crop_box = anyres.unpad_hw((gh * h, gw * w), original_size)
+    return merge_tile_grids(params, cfg, grids, grid_shape, crop_box)
 
 
 def _spliced_prompt_embeds(params, cfg, images, ids, image_starts,

@@ -58,9 +58,15 @@ def merge_spatial(
     image_newline: Optional[jnp.ndarray] = None,  # (C,)
     original_size: Optional[Tuple[int, int]] = None,  # (width, height)
     unpad: bool = False,
+    crop_box: Optional[Tuple[int, int, int, int]] = None,
 ) -> jnp.ndarray:
     """Reference spatial/spatial_unpad merge. Returns (N, C) tokens:
-    [global-view tokens | assembled grid tokens (+ newline per row)]."""
+    [global-view tokens | assembled grid tokens (+ newline per row)].
+
+    For unpad merges the crop may be given directly as ``crop_box``
+    (top, bottom, left, right) — precomputed on the host via unpad_hw — so
+    that a jit of this function is keyed on the (few) distinct crop boxes
+    rather than exact pixel image sizes."""
     gw, gh = grid_shape
     base = tile_feats[0]                     # (h, w, C) global view
     tiles = tile_feats[1:]                   # (gh*gw, h, w, C), row-major
@@ -71,8 +77,10 @@ def merge_spatial(
     grid = grid.reshape(gh * h, gw * w, c)
 
     if unpad:
-        assert original_size is not None
-        top, bottom, left, right = unpad_hw((gh * h, gw * w), original_size)
+        if crop_box is None:
+            assert original_size is not None
+            crop_box = unpad_hw((gh * h, gw * w), original_size)
+        top, bottom, left, right = crop_box
         grid = grid[top:bottom, left:right]
 
     if image_newline is not None:
