@@ -21,7 +21,16 @@ DIMS = ("NHWC", "HWIO", "NHWC")
 
 
 def gelu(x):
-    """Exact (erf) GELU — the reference uses torch nn.GELU default."""
+    """GELU matching torch nn.GELU (erf) to within output rounding.
+
+    f32 compute uses the exact erf form (parity with the reference's
+    torch default). bf16 compute uses the tanh approximation: its error is
+    <= 4.8e-4 absolute (at x~2.7), below one bf16 ulp of the output there
+    (~8e-3), so bf16 results differ from exact-erf-then-round by at most
+    1 ulp — while erf costs ~1.7 ms per RepMixer stage on v5e (measured;
+    tanh is as cheap as relu)."""
+    if x.dtype == jnp.bfloat16:
+        return jax.nn.gelu(x, approximate=True)
     return jax.nn.gelu(x, approximate=False)
 
 
