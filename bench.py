@@ -177,6 +177,64 @@ def bench_decode(cfg, params, batch: int, steps: int = 64):
     return n * batch / dt  # tokens/sec aggregate
 
 
+def bench_decode_ctx(cfg, params, batch: int, ctx: int, steps: int = 64,
+                     variant: str = "dense-xla", page: int = 64):
+    """Sustained decode tok/s against a pre-filled long cache.
+
+    variant: 'dense-xla' (baseline), 'dense-pallas' (blocked online-softmax
+    kernel over the dense cache), 'paged-pallas' (block-table pool, pages
+    read in place — the serving layout, VERDICT r1 #3)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from fastvlm_tpu.models import vlm
+    from fastvlm_tpu.ops.kv_cache import init_cache, init_paged_cache
+
+    if variant.endswith("pallas"):
+        cfg = dataclasses.replace(
+            cfg, decoder=dataclasses.replace(cfg.decoder,
+                                             attn_backend="pallas"))
+    dtype = jnp.bfloat16 if cfg.decoder.compute_dtype == "bfloat16" else jnp.float32
+    dec = cfg.decoder
+    max_len = -(-(ctx + steps + 8) // page) * page
+    key = jax.random.PRNGKey(2)
+    lengths = jnp.full((batch,), ctx, jnp.int32)
+    if variant.startswith("paged"):
+        pps = max_len // page
+        cache = init_paged_cache(dec.num_layers, batch, batch * pps, page,
+                                 pps, dec.num_kv_heads, dec.head_dim, dtype)
+        tables = np.random.RandomState(0).permutation(
+            batch * pps).reshape(batch, pps).astype(np.int32)
+        cache = cache._replace(
+            k_pages=jax.random.normal(key, cache.k_pages.shape, dtype) * 0.1,
+            v_pages=jax.random.normal(key, cache.v_pages.shape, dtype) * 0.1,
+            block_tables=jnp.asarray(tables), lengths=lengths)
+    else:
+        cache = init_cache(dec.num_layers, batch, max_len, dec.num_kv_heads,
+                           dec.head_dim, dtype)
+        cache = cache._replace(
+            k=jax.random.normal(key, cache.k.shape, dtype) * 0.1,
+            v=jax.random.normal(key, cache.v.shape, dtype) * 0.1,
+            lengths=lengths)
+
+    tok = jnp.full((batch,), 17, jnp.int32)
+    done = jnp.zeros((batch,), bool)
+    toks, done, tok, cache, key = vlm.decode_chunk(
+        params, cfg, tok, done, cache, key, k=8, eos_ids=(-1,))
+    sync(toks)  # compile + warm
+    t0 = time.perf_counter()
+    n = 0
+    while n < steps:
+        toks, done, tok, cache, key = vlm.decode_chunk(
+            params, cfg, tok, done, cache, key, k=8, eos_ids=(-1,))
+        n += 8
+    sync(toks)
+    dt = time.perf_counter() - t0
+    return n * batch / dt
+
+
 def bench_video(cfg, params, frames: int = 8):
     """Per-frame latency of the streaming video-QA loop (KV prefix reuse)."""
     import numpy as np
@@ -208,6 +266,9 @@ CONFIGS = {
     "ocr-1536": dict(size="0.5b", image_size=1536, batch=1, mode="ttft"),
     "video-qa": dict(size="0.5b", image_size=1024, batch=1, mode="video"),
     "decode": dict(size="0.5b", image_size=1024, batch=1, mode="decode"),
+    # long-context serving decode: dense XLA vs Pallas kernels vs paged pool
+    "decode-paged": dict(size="0.5b", image_size=1024, batch=8,
+                         mode="decode_ctx"),
 }
 
 
@@ -241,6 +302,22 @@ def main(argv=None) -> int:
         print(json.dumps({
             "metric": f"p50 per-frame latency video-QA {args.size} @{args.image_size}px (32 new tokens, KV prefix reuse)",
             "value": round(p50, 2), "unit": "ms", "vs_baseline": 0.0,
+        }))
+        return 0
+    if mode == "decode_ctx":
+        results = {}
+        for ctx in (2048, 4096):
+            for variant in ("dense-xla", "dense-pallas", "paged-pallas"):
+                tps = bench_decode_ctx(cfg, params, args.batch, ctx,
+                                       variant=variant)
+                results[f"{variant}@{ctx}"] = round(tps, 1)
+                print(json.dumps({"ctx": ctx, "variant": variant,
+                                  "tok_s": round(tps, 1)}), file=sys.stderr)
+        best = results["paged-pallas@4096"]
+        print(json.dumps({
+            "metric": f"decode throughput {args.size} b{args.batch} @4096ctx paged-pallas",
+            "value": best, "unit": "tok/s",
+            "vs_baseline": round(best / results["dense-xla@4096"], 3),
         }))
         return 0
     if mode == "decode":

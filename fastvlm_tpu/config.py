@@ -134,6 +134,11 @@ class Qwen2Config:
     pos_emb: str = "rope"               # 'rope' | 'alibi'
     param_dtype: str = "float32"
     compute_dtype: str = "float32"
+    # decode attention backend: 'xla' (default) or 'pallas' — the blocked
+    # online-softmax kernels in ops/pallas/decode_attention.py (dense and
+    # paged caches). Pallas targets long-context serving; it falls back to
+    # XLA for ALiBi / sliding-window decoders (bias/window unsupported).
+    attn_backend: str = "xla"
 
     @property
     def q_dim(self) -> int:

@@ -25,7 +25,15 @@ from jax import lax
 
 from fastvlm_tpu.config import Qwen2Config, resolve_dtype
 from fastvlm_tpu.ops.conv import rms_norm
-from fastvlm_tpu.ops.kv_cache import KVCache, write_prompt, write_token
+from fastvlm_tpu.ops.kv_cache import (
+    KVCache,
+    PagedKVCache,
+    gather_pages,
+    write_prompt,
+    write_prompt_paged,
+    write_token,
+    write_token_paged,
+)
 
 Params = Dict[str, Any]
 
@@ -182,9 +190,27 @@ def fuse_decoder_params(params: Params, cfg: Qwen2Config) -> Params:
     return out
 
 
+def _decode_attention_pallas(q, keys, values, lengths):
+    """Route one decode step through the blocked Pallas kernel.
+
+    q: (B, 1, Hq, D); keys/values: (B, S_max, Hkv, D); valid key count per
+    row is lengths[b] + 1 (the step's token was just written)."""
+    from fastvlm_tpu.ops.pallas.decode_attention import decode_attention
+
+    out = decode_attention(q[:, 0], keys.astype(q.dtype),
+                           values.astype(q.dtype), lengths + 1,
+                           interpret=jax.default_backend() == "cpu")
+    b, hq, d = out.shape
+    return out.reshape(b, 1, hq * d)
+
+
 def _layer(x, lp, cfg: Qwen2Config, cos, sin, cache_k, cache_v, mask, lengths,
-           prefill, bias=None, prefill_offset=0):
-    """One decoder layer. cache_k/v: (B, S_max, Hkv, D) or None (no-cache)."""
+           prefill, bias=None, prefill_offset=0, block_tables=None):
+    """One decoder layer.
+
+    cache_k/v: (B, S_max, Hkv, D) dense cache rows, (P, page, Hkv, D) pool
+    slices when ``block_tables`` is given (paged serving layout), or None
+    (no cache — training self-attention)."""
     b, t, d = x.shape
     h = rms_norm(x, lp["ln1"], cfg.rms_eps)
     if "qkv" in lp:
@@ -201,19 +227,58 @@ def _layer(x, lp, cfg: Qwen2Config, cos, sin, cache_k, cache_v, mask, lengths,
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
+    attn = None  # set directly by the Pallas decode routes
+    use_pallas = (cfg.attn_backend == "pallas" and bias is None
+                  and cfg.attn_window is None)
     if cache_k is None:
         keys, values = k, v
         new_cache = None
-    else:
-        if prefill:
+    elif prefill:
+        if block_tables is None:
             cache_k, cache_v = write_prompt(cache_k, cache_v, k, v,
                                             prefill_offset)
         else:
-            cache_k, cache_v = write_token(cache_k, cache_v, k, v, lengths)
+            cache_k, cache_v = write_prompt_paged(cache_k, cache_v, k, v,
+                                                  block_tables, prefill_offset)
+        if mask.shape[-1] == t:
+            # Fresh-token prefill attention: a (B, T, T) mask means the
+            # caller is prefilling an empty cache, so the just-computed
+            # (B, T) keys ARE the full valid cache — attend them directly
+            # instead of streaming the S_max-wide (mostly masked) cache.
+            keys, values = k, v
+        elif block_tables is None:
+            keys, values = cache_k, cache_v
+        else:
+            keys = gather_pages(cache_k, block_tables)
+            values = gather_pages(cache_v, block_tables)
+        new_cache = (cache_k, cache_v)
+    elif block_tables is None:  # dense decode step
+        cache_k, cache_v = write_token(cache_k, cache_v, k, v, lengths)
         keys, values = cache_k, cache_v
         new_cache = (cache_k, cache_v)
+        if use_pallas:
+            attn = _decode_attention_pallas(q, keys, values, lengths)
+    else:  # paged decode step
+        cache_k, cache_v = write_token_paged(cache_k, cache_v, k, v,
+                                             block_tables, lengths)
+        new_cache = (cache_k, cache_v)
+        if use_pallas:
+            from fastvlm_tpu.ops.pallas.decode_attention import (
+                paged_decode_attention,
+            )
 
-    attn = _attend(q, keys.astype(q.dtype), values.astype(q.dtype), mask, bias)
+            out = paged_decode_attention(
+                q[:, 0], cache_k.astype(q.dtype), cache_v.astype(q.dtype),
+                block_tables, lengths + 1,
+                interpret=jax.default_backend() == "cpu")
+            attn = out.reshape(b, 1, -1)
+        else:
+            keys = gather_pages(cache_k, block_tables)
+            values = gather_pages(cache_v, block_tables)
+
+    if attn is None:
+        attn = _attend(q, keys.astype(q.dtype), values.astype(q.dtype), mask,
+                       bias)
     x = x + _project(attn, lp["o"]).reshape(b, t, d)
 
     h = rms_norm(x, lp["ln2"], cfg.rms_eps)
@@ -306,6 +371,21 @@ def forward(
             body = jax.checkpoint(body)
         x, _ = lax.scan(body, x, params["layers"])
         new_cache = None
+    elif isinstance(cache, PagedKVCache):
+        tables = cache.block_tables
+
+        def body(carry, layer_in):
+            lp, ck, cv = layer_in
+            h, (nk, nv) = _layer(carry, lp, cfg, cos, sin, ck, cv, mask,
+                                 lengths, prefill, bias, prefill_offset,
+                                 block_tables=tables)
+            return h, (nk, nv)
+
+        x, (nk, nv) = lax.scan(
+            body, x, (params["layers"], cache.k_pages, cache.v_pages))
+        new_lengths = (lengths + t) if prefill else (lengths + 1)
+        new_cache = PagedKVCache(k_pages=nk, v_pages=nv,
+                                 block_tables=tables, lengths=new_lengths)
     else:
         def body(carry, layer_in):
             lp, ck, cv = layer_in

@@ -184,7 +184,10 @@ def prefill(
                                     vision_embeds)
     b, t, _ = embeds.shape
     positions = jnp.arange(t, dtype=jnp.int32)[None, :].repeat(b, 0)
-    mask = qwen2.prefill_mask(seq_lens, t, cache.max_len,
+    # (B, T, T) mask: the cache is empty, so prefill attends the fresh
+    # prompt keys directly (qwen2._layer fresh-token path) instead of the
+    # S_max-wide cache — prefill attention cost scales with T, not T+max_new
+    mask = qwen2.prefill_mask(seq_lens, t, t,
                               window=cfg.decoder.attn_window)
     hidden, cache = qwen2.forward(
         params["decoder"], cfg.decoder, embeds, positions,

@@ -68,3 +68,120 @@ def write_token(layer_k, layer_v, new_k, new_v, lengths):
     layer_k = jax.vmap(_upd)(layer_k, new_k, lengths)
     layer_v = jax.vmap(_upd)(layer_v, new_v, lengths)
     return layer_k, layer_v
+
+
+# ---------------------------------------------------------------------------
+# Paged (block-table) cache — the serving layout
+# ---------------------------------------------------------------------------
+#
+# The dense cache above allocates B * S_max rows up front; a batch of mixed-
+# length requests pays worst-case HBM for every row. The paged cache is the
+# TPU equivalent of the reference app's paged KV decode (SURVEY.md:40-41 —
+# the CoreML/MLX decode loop): a single global pool of fixed-size pages
+# shared by every sequence, with a per-row block table mapping virtual token
+# positions to pool pages. Rows grow page-by-page; finished rows return
+# their pages; HBM is bounded by tokens actually in flight, not by
+# batch * max_len.
+#
+# Layout (per layer, scanned over L like the dense cache):
+#   k_pages/v_pages: (L, P, page_size, H_kv, D)  — the pool
+#   block_tables:    (B, pages_per_seq) int32    — pool page ids, -1 = unmapped
+#   lengths:         (B,) int32                  — valid tokens per row
+#
+# Virtual position t of row b lives at pool page block_tables[b, t // page]
+# slot t % page. Writes are scatters into the flattened (P*page, H, D) pool;
+# positions whose table entry is -1 scatter out of bounds and are DROPPED
+# (jax scatter mode='drop'), so unmapped pages are never touched.
+
+
+class PagedKVCache(NamedTuple):
+    k_pages: jnp.ndarray       # (L, P, page, H_kv, D)
+    v_pages: jnp.ndarray       # (L, P, page, H_kv, D)
+    block_tables: jnp.ndarray  # (B, pages_per_seq) int32, -1 = unmapped
+    lengths: jnp.ndarray       # (B,) int32
+
+    @property
+    def page_size(self) -> int:
+        return self.k_pages.shape[2]
+
+    @property
+    def num_pages(self) -> int:
+        return self.k_pages.shape[1]
+
+    @property
+    def max_len(self) -> int:
+        """Virtual per-sequence capacity (pages_per_seq * page_size)."""
+        return self.block_tables.shape[1] * self.k_pages.shape[2]
+
+    @property
+    def num_layers(self) -> int:
+        return self.k_pages.shape[0]
+
+
+def init_paged_cache(num_layers, batch, num_pages, page_size, pages_per_seq,
+                     num_kv_heads, head_dim, dtype=jnp.bfloat16):
+    """Pool of ``num_pages`` pages; every row starts with an empty table."""
+    shape = (num_layers, num_pages, page_size, num_kv_heads, head_dim)
+    return PagedKVCache(
+        k_pages=jnp.zeros(shape, dtype),
+        v_pages=jnp.zeros(shape, dtype),
+        block_tables=jnp.full((batch, pages_per_seq), -1, jnp.int32),
+        lengths=jnp.zeros((batch,), jnp.int32),
+    )
+
+
+def _flat_dest(block_tables, positions, page_size):
+    """Virtual positions (B, T) -> flat pool indices (B, T) into (P*page).
+
+    Unmapped pages (table entry -1) map to a far out-of-bounds index
+    (positive — negative indices would wrap), which the scatter drops."""
+    page_ids = jnp.take_along_axis(
+        block_tables, positions // page_size, axis=1)  # (B, T)
+    dest = page_ids * page_size + positions % page_size
+    return jnp.where(page_ids < 0, jnp.int32(2 ** 30), dest)
+
+
+def write_prompt_paged(layer_k, layer_v, new_k, new_v, block_tables, offset=0):
+    """Prefill write: (B, T, H, D) keys/values to virtual rows
+    [offset, offset+T) of each sequence.
+
+    layer_k/v: (P, page, H, D) pool slices for one layer."""
+    b, t, h, d = new_k.shape
+    page = layer_k.shape[1]
+    pos = offset + jnp.arange(t, dtype=jnp.int32)[None, :].repeat(b, 0)
+    dest = _flat_dest(block_tables, pos, page).reshape(-1)  # (B*T,)
+    flat_shape = (layer_k.shape[0] * page, h, d)
+    layer_k = layer_k.reshape(flat_shape).at[dest].set(
+        new_k.astype(layer_k.dtype).reshape(-1, h, d), mode="drop")
+    layer_v = layer_v.reshape(flat_shape).at[dest].set(
+        new_v.astype(layer_v.dtype).reshape(-1, h, d), mode="drop")
+    return (layer_k.reshape(-1, page, h, d),
+            layer_v.reshape(-1, page, h, d))
+
+
+def write_token_paged(layer_k, layer_v, new_k, new_v, block_tables, lengths):
+    """Decode write: row b's (1, H, D) key/value to virtual position
+    lengths[b]. layer_k/v: (P, page, H, D); new_k/v: (B, 1, H, D)."""
+    b, _, h, d = new_k.shape
+    page = layer_k.shape[1]
+    dest = _flat_dest(block_tables, lengths[:, None], page)[:, 0]  # (B,)
+    flat_shape = (layer_k.shape[0] * page, h, d)
+    layer_k = layer_k.reshape(flat_shape).at[dest].set(
+        new_k.astype(layer_k.dtype)[:, 0], mode="drop")
+    layer_v = layer_v.reshape(flat_shape).at[dest].set(
+        new_v.astype(layer_v.dtype)[:, 0], mode="drop")
+    return (layer_k.reshape(-1, page, h, d),
+            layer_v.reshape(-1, page, h, d))
+
+
+def gather_pages(layer_pages, block_tables):
+    """Dense (B, pages_per_seq * page, H, D) view of one layer's pool —
+    the XLA-attention fallback (the Pallas kernel in
+    ops/pallas/paged_attention.py reads pages in place instead).
+
+    Unmapped entries (-1) clamp to page 0; callers mask by length."""
+    b, n = block_tables.shape
+    tables = jnp.maximum(block_tables, 0)
+    gathered = jnp.take(layer_pages, tables.reshape(-1), axis=0)
+    _, page, h, d = layer_pages.shape
+    return gathered.reshape(b, n * page, h, d)

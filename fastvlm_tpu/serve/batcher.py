@@ -53,16 +53,55 @@ def _round_batch(n: int, caps=(1, 2, 4, 8)) -> int:
     return caps[-1]
 
 
+class PagePool:
+    """Host-side free list over the device KV page pool.
+
+    The device arrays (ops/kv_cache.PagedKVCache pools) never move; this
+    tracks which pool pages are mapped into some row's block table. Pages are
+    allocated as sequences grow and returned the moment a request finishes,
+    so HBM held by the cache is bounded by tokens actually in flight —
+    the paged-KV serving property named in SURVEY.md:40-41 / BASELINE."""
+
+    def __init__(self, num_pages: int):
+        self.num_pages = num_pages
+        self._free = list(range(num_pages))
+        self.min_free = num_pages  # low-water mark (observability/tests)
+
+    @property
+    def free_pages(self) -> int:
+        return len(self._free)
+
+    def alloc(self, n: int) -> Optional[List[int]]:
+        if n > len(self._free):
+            return None
+        out = self._free[-n:]
+        del self._free[-n:]
+        self.min_free = min(self.min_free, len(self._free))
+        return out
+
+    def release(self, pages: List[int]) -> None:
+        self._free.extend(pages)
+
+
 class BatchScheduler:
     """Wraps an Engine; submit() returns an iterator of cumulative-text
     updates exactly like Engine.stream."""
 
-    def __init__(self, engine, *, max_batch: int = 8, window_ms: float = 15.0):
+    def __init__(self, engine, *, max_batch: int = 8, window_ms: float = 15.0,
+                 paged: bool = True, page_size: int = 64,
+                 pool_tokens: int = 16384):
         self.engine = engine
         self.max_batch = max_batch
         self.window_s = window_ms / 1000.0
         self.queue: "queue.Queue[_Request]" = queue.Queue()
         self._stop = False
+        # paged KV serving: one shared device page pool; rows map pages as
+        # they grow and return them on finish (falls back to a dense
+        # per-batch cache if a batch can't fit the pool)
+        self.paged = paged
+        self.page_size = page_size
+        self.pool = PagePool(max(1, pool_tokens // page_size)) if paged else None
+        self._pool_kv = None  # lazy (k_pages, v_pages) device arrays
         self.thread = threading.Thread(target=self._loop, daemon=True)
         self.thread.start()
 
@@ -128,6 +167,82 @@ class BatchScheduler:
                     r.out.put({"error": str(e)})
                     r.out.put(_SENTINEL)
 
+    def _paged_cache(self, b, pad_to, max_new, lens_host, n_real):
+        """Map prompt pages for each real row; returns (cache, row_pages,
+        tables) or None if the pool can't hold the prompts. Pad rows keep an
+        all-(-1) table: their cache writes are dropped on device."""
+        import jax.numpy as jnp
+
+        from fastvlm_tpu.ops.kv_cache import PagedKVCache, init_paged_cache
+
+        cfg = self.engine.cfg
+        page = self.page_size
+        pps = -(-(pad_to + max_new) // page)
+        if self._pool_kv is None:
+            c0 = init_paged_cache(
+                cfg.decoder.num_layers, b, self.pool.num_pages, page, pps,
+                cfg.decoder.num_kv_heads, cfg.decoder.head_dim,
+                self.engine._dtype)
+            self._pool_kv = (c0.k_pages, c0.v_pages)
+        tables = np.full((b, pps), -1, np.int32)
+        row_pages: List[List[int]] = [[] for _ in range(b)]
+        for i in range(n_real):
+            n = -(-int(lens_host[i]) // page)
+            got = self.pool.alloc(n)
+            if got is None:
+                for pgs in row_pages:
+                    self.pool.release(pgs)
+                return None
+            row_pages[i] = got
+            tables[i, :n] = got
+        cache = PagedKVCache(
+            k_pages=self._pool_kv[0], v_pages=self._pool_kv[1],
+            block_tables=jnp.asarray(tables),
+            lengths=jnp.zeros((b,), jnp.int32))
+        return cache, row_pages, tables
+
+    def _grow_pages(self, cache, tables, row_pages, lens_host, finished,
+                    n_real, chunk_idx, k):
+        """Chunk-boundary page accounting: free finished rows' pages, map
+        pages covering the next k tokens of each active row. Exhaustion
+        truncates the row (finishes it) rather than stalling the batch."""
+        import jax.numpy as jnp
+
+        page = self.page_size
+        pps = tables.shape[1]
+        changed = False
+        for i in range(n_real):
+            if finished[i]:
+                if row_pages[i]:
+                    self.pool.release(row_pages[i])
+                    row_pages[i] = []
+                    tables[i, :] = -1  # device writes for this row now drop
+                    changed = True
+                continue
+            # device lengths advance k per chunk for every row
+            target = min(lens_host[i] + (chunk_idx + 1) * k, pps * page)
+            need = -(-target // page)
+            delta = need - len(row_pages[i])
+            if delta <= 0:
+                continue
+            got = self.pool.alloc(delta)
+            if got is None:
+                logger.warning(
+                    "page pool exhausted (%d rows in flight); truncating row %d",
+                    sum(not f for f in finished[:n_real]), i)
+                finished[i] = True
+                self.pool.release(row_pages[i])
+                row_pages[i] = []
+                tables[i, :] = -1
+                changed = True
+                continue
+            tables[i, len(row_pages[i]):need] = got
+            row_pages[i].extend(got)
+            changed = True
+        if changed:
+            cache = cache._replace(block_tables=jnp.asarray(tables))
+        return cache
+
     def _run_batch(self, batch: List[_Request]):
         import jax
         import jax.numpy as jnp
@@ -181,9 +296,19 @@ class BatchScheduler:
         ids, lens, starts = pad_batch(rows, starts_l, pad_to)
 
         max_new = max(r.max_new_tokens for r in batch)
-        cache = init_cache(cfg.decoder.num_layers, b, pad_to + max_new,
-                           cfg.decoder.num_kv_heads, cfg.decoder.head_dim,
-                           engine._dtype)
+        lens_host = [len(r) for r in rows]
+        cache = row_pages = tables = None
+        if self.paged:
+            made = self._paged_cache(b, pad_to, max_new, lens_host, n_real)
+            if made is None:
+                logger.warning("page pool (%d pages) can't hold batch prompts;"
+                               " dense fallback", self.pool.num_pages)
+            else:
+                cache, row_pages, tables = made
+        if cache is None:
+            cache = init_cache(cfg.decoder.num_layers, b, pad_to + max_new,
+                               cfg.decoder.num_kv_heads, cfg.decoder.head_dim,
+                               engine._dtype)
         t0 = time.perf_counter()
         logits, cache = engine._prefill_jit(
             engine.params, jnp.asarray(np.stack(imgs), engine._dtype),
@@ -223,31 +348,46 @@ class BatchScheduler:
         push_updates()
 
         done = jnp.asarray([finished[i] or caps[i] <= 1 for i in range(b)])
-        while not all(finished) and max(
-                emitted[i] for i in range(n_real) if not finished[i]) < max_new:
-            k = min(engine.chunk, max_new)
-            toks, done, tok, cache, key = vlm.decode_chunk(
-                engine.params, cfg, tok, done, cache, key, k=k,
-                eos_ids=engine.eos_ids, sampling=sampling)
-            host = np.asarray(toks)
-            for i in range(n_real):
-                if finished[i]:
-                    continue
-                for t in host[i]:
-                    t = int(t)
-                    # post-EOS pad slots are always preceded by the EOS token
-                    # in the same chunk, so breaking on EOS is sufficient —
-                    # no pad heuristic (token id 0 is a real Qwen2 token, '!')
-                    if t in engine.eos_ids or emitted[i] >= caps[i]:
+        chunk_idx = 0
+        try:
+            while not all(finished) and max(
+                    emitted[i] for i in range(n_real) if not finished[i]) < max_new:
+                k = min(engine.chunk, max_new)
+                if tables is not None:
+                    cache = self._grow_pages(cache, tables, row_pages,
+                                             lens_host, finished, n_real,
+                                             chunk_idx, k)
+                toks, done, tok, cache, key = vlm.decode_chunk(
+                    engine.params, cfg, tok, done, cache, key, k=k,
+                    eos_ids=engine.eos_ids, sampling=sampling)
+                chunk_idx += 1
+                host = np.asarray(toks)
+                for i in range(n_real):
+                    if finished[i]:
+                        continue
+                    for t in host[i]:
+                        t = int(t)
+                        # post-EOS pad slots are always preceded by the EOS
+                        # token in the same chunk, so breaking on EOS is
+                        # sufficient — no pad heuristic (token id 0 is a real
+                        # Qwen2 token, '!')
+                        if t in engine.eos_ids or emitted[i] >= caps[i]:
+                            finished[i] = True
+                            break
+                        texts[i].append(t)
+                        emitted[i] += 1
+                push_updates()
+                host_done = np.asarray(done)
+                for i in range(n_real):
+                    if host_done[i]:
                         finished[i] = True
-                        break
-                    texts[i].append(t)
-                    emitted[i] += 1
-            push_updates()
-            host_done = np.asarray(done)
-            for i in range(n_real):
-                if host_done[i]:
-                    finished[i] = True
+        finally:
+            if tables is not None:
+                for pgs in row_pages:
+                    self.pool.release(pgs)
+                row_pages = [[] for _ in range(b)]
+                # keep the (donated-through) pool arrays for the next batch
+                self._pool_kv = (cache.k_pages, cache.v_pages)
 
         for r in batch:
             r.out.put(_SENTINEL)

@@ -91,3 +91,84 @@ def test_mixed_sampling_groups_split(engine):
         assert out_sampled[-1]["stats"]["batch_size"] == 1
     finally:
         sched.shutdown()
+
+
+def test_page_pool_accounting():
+    from fastvlm_tpu.serve.batcher import PagePool
+
+    pool = PagePool(4)
+    a = pool.alloc(3)
+    assert len(a) == 3 and pool.free_pages == 1 and pool.min_free == 1
+    assert pool.alloc(2) is None  # refuses, state unchanged
+    assert pool.free_pages == 1
+    pool.release(a)
+    assert pool.free_pages == 4
+    assert pool.min_free == 1  # low-water mark sticks
+
+
+def test_paged_bounded_pool_matches_serial(engine):
+    """A pool SMALLER than the dense worst case (batch * (bucket + max_new))
+    must serve the batch correctly and return every page afterwards — the
+    'memory bounded by tokens in flight' property (VERDICT r1 #3)."""
+    prompts = ["alpha", "beta gamma", "delta"]
+    page = 16
+    # size the pool to exactly the tokens in flight (3 rows of L+4 new
+    # tokens, page-rounded) — well under the dense worst case of
+    # bucket4 * (prompt_bucket + max_new)
+    lens = [int(np.asarray(engine.prepare(engine.build_prompt(p),
+                                          None)["lens"])[0])
+            for p in prompts]
+    need = sum(-(-(ln + 4) // page) for ln in lens)
+    bucket = max(int(engine.prepare(engine.build_prompt(p),
+                                    None)["ids"].shape[1]) for p in prompts)
+    assert need * page < 4 * (bucket + 4), "pool not smaller than dense"
+    sched = BatchScheduler(engine, window_ms=120, paged=True,
+                           page_size=page, pool_tokens=need * page)
+    try:
+        want = [engine.chat(p, max_new_tokens=4)[0] for p in prompts]
+        results = [None] * len(prompts)
+
+        def run(i):
+            last = None
+            for last in sched.submit(engine.build_prompt(prompts[i]),
+                                     max_new_tokens=4):
+                pass
+            assert "error" not in last, last
+            results[i] = last["text"]
+
+        threads = [threading.Thread(target=run, args=(i,))
+                   for i in range(len(prompts))]
+        for t in threads:
+            t.start()
+            time.sleep(0.01)
+        for t in threads:
+            t.join(timeout=180)
+        assert results == want, (results, want)
+        assert sched.pool.free_pages == sched.pool.num_pages  # all returned
+        assert sched.pool.min_free < sched.pool.num_pages     # ...and used
+    finally:
+        sched.shutdown()
+
+
+def test_paged_pool_exhaustion_truncates_not_crashes(engine):
+    """Decode past the pool's capacity truncates the request (finishes the
+    stream early) instead of stalling or corrupting other rows."""
+    # pool fits the prompt plus ~2 pages of decode, then runs dry
+    page = 8
+    ln = int(np.asarray(engine.prepare(
+        engine.build_prompt("tell me everything"), None)["lens"])[0])
+    pool_pages = -(-ln // page) + 2
+    sched = BatchScheduler(engine, window_ms=5, paged=True,
+                           page_size=page, pool_tokens=pool_pages * page)
+    try:
+        want, _ = engine.chat("tell me everything", max_new_tokens=64)
+        updates = list(sched.submit(engine.build_prompt("tell me everything"),
+                                    max_new_tokens=64))
+        assert updates, "stream ended with no updates"
+        last = updates[-1]
+        assert "error" not in last, last
+        # truncated output must still be a prefix of the full generation
+        assert want.startswith(last["text"])
+        assert sched.pool.free_pages == sched.pool.num_pages
+    finally:
+        sched.shutdown()

@@ -1,0 +1,194 @@
+"""Paged-cache decode parity: the block-table serving layout must produce
+exactly the dense cache's logits through qwen2.forward / vlm decode, on both
+attention backends (XLA gather fallback and the Pallas paged kernel).
+
+This pins VERDICT r1 #3's correctness bar ("correctness tests vs dense") —
+the paged cache is the TPU equivalent of the reference app's paged-KV decode
+loop (SURVEY.md:40-41).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fastvlm_tpu.config import Qwen2Config
+from fastvlm_tpu.models import qwen2
+from fastvlm_tpu.ops.kv_cache import (
+    PagedKVCache,
+    init_cache,
+    init_paged_cache,
+)
+
+TINY = Qwen2Config(
+    vocab_size=128,
+    hidden_size=32,
+    num_layers=2,
+    num_heads=4,
+    num_kv_heads=2,
+    head_dim=8,
+    intermediate_size=64,
+    tie_word_embeddings=True,
+)
+
+PAGE = 8
+
+
+def _alloc_tables(batch, pages_per_seq, seed=0):
+    """Collision-free shuffled page assignment (allocator simulation)."""
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(batch * pages_per_seq).astype(np.int32)
+    return jnp.asarray(perm.reshape(batch, pages_per_seq))
+
+
+def _run_pair(cfg, b=2, t=12, steps=5, seed=0):
+    """Prefill + greedy-ish decode on dense and paged caches; return the
+    per-step logits of both."""
+    key = jax.random.PRNGKey(seed)
+    params = qwen2.init(key, cfg)
+    ids = jax.random.randint(jax.random.PRNGKey(seed + 1), (b, t), 0,
+                             cfg.vocab_size)
+    seq_lens = jnp.asarray([t, t - 3][:b], jnp.int32)
+    max_len = t + steps + 3
+    pages_per_seq = -(-max_len // PAGE)
+
+    dense = init_cache(cfg.num_layers, b, pages_per_seq * PAGE,
+                       cfg.num_kv_heads, cfg.head_dim, jnp.float32)
+    paged = init_paged_cache(cfg.num_layers, b, b * pages_per_seq, PAGE,
+                             pages_per_seq, cfg.num_kv_heads, cfg.head_dim,
+                             jnp.float32)
+    paged = paged._replace(block_tables=_alloc_tables(b, pages_per_seq, seed))
+
+    embeds = qwen2.embed(params, ids)
+    positions = jnp.arange(t, dtype=jnp.int32)[None].repeat(b, 0)
+    mask = qwen2.prefill_mask(seq_lens, t, t)
+
+    outs = []
+    for cache in (dense, paged):
+        hidden, cache = qwen2.forward(params, cfg, embeds, positions,
+                                      cache=cache, mask=mask, prefill=True)
+        cache = cache._replace(lengths=seq_lens)
+        logits_steps = [np.asarray(
+            qwen2.logits_from_hidden(params, hidden, cfg))]
+        tok = jnp.argmax(logits_steps[0][:, -1], axis=-1).astype(jnp.int32)
+        for _ in range(steps):
+            emb = qwen2.embed(params, tok[:, None])
+            pos = cache.lengths[:, None]
+            dmask = qwen2.decode_mask(cache.lengths, cache.max_len)
+            hidden, cache = qwen2.forward(params, cfg, emb, pos, cache=cache,
+                                          mask=dmask, prefill=False)
+            step_logits = qwen2.logits_from_hidden(params, hidden, cfg)
+            logits_steps.append(np.asarray(step_logits))
+            tok = jnp.argmax(step_logits[:, 0], axis=-1).astype(jnp.int32)
+        outs.append(logits_steps)
+    return outs
+
+
+def test_paged_forward_matches_dense_xla():
+    dense_logits, paged_logits = _run_pair(TINY)
+    for d, p in zip(dense_logits, paged_logits):
+        np.testing.assert_allclose(p, d, atol=1e-5)
+
+
+def test_paged_forward_matches_dense_pallas():
+    cfg = dataclasses.replace(TINY, attn_backend="pallas")
+    dense_logits, paged_logits = _run_pair(cfg)
+    ref_logits, _ = _run_pair(TINY)
+    for d, p, r in zip(dense_logits, paged_logits, ref_logits):
+        np.testing.assert_allclose(p, d, atol=1e-4)
+        np.testing.assert_allclose(d, r, atol=1e-4)  # pallas == xla too
+
+
+def test_paged_decode_chunk_and_generate_parity():
+    """vlm.decode_chunk (the serving streaming unit) must run unchanged on a
+    paged cache and agree with the dense path token-for-token."""
+    from fastvlm_tpu.config import FastViTConfig, FastVLMConfig, ProjectorConfig
+    from fastvlm_tpu.models import vlm
+    from fastvlm_tpu.ops.sampling import SamplingParams
+
+    vis = FastViTConfig(layers=(1, 1, 1, 1, 1), embed_dims=(8, 16, 24, 32, 40),
+                        image_size=256)
+    cfg = FastVLMConfig(
+        vision=vis,
+        projector=ProjectorConfig(mm_hidden_size=80, hidden_size=32),
+        decoder=TINY,
+    )
+    params = vlm.init(jax.random.PRNGKey(0), cfg)
+    b, t = 2, 16
+    ids = jax.random.randint(jax.random.PRNGKey(1), (b, t), 0, 100)
+    seq_lens = jnp.asarray([t, t - 5], jnp.int32)
+    starts = jnp.asarray([-1, -1], jnp.int32)
+    steps = 8
+    pages_per_seq = -(-(t + steps) // PAGE)
+
+    dense = init_cache(TINY.num_layers, b, pages_per_seq * PAGE,
+                       TINY.num_kv_heads, TINY.head_dim, jnp.float32)
+    paged = init_paged_cache(TINY.num_layers, b, b * pages_per_seq + 1, PAGE,
+                             pages_per_seq, TINY.num_kv_heads, TINY.head_dim,
+                             jnp.float32)
+    paged = paged._replace(
+        block_tables=_alloc_tables(b, pages_per_seq, 3) + 1)  # page 0 unused
+
+    toks = {}
+    for name, cache in (("dense", dense), ("paged", paged)):
+        # decode_chunk donates the cache (and prefill aliases seq_lens into
+        # cache.lengths) — give each run its own arrays
+        seq_lens = jnp.asarray([t, t - 5], jnp.int32)
+        logits, cache = vlm.prefill(params, cfg, None, ids, seq_lens, starts,
+                                    cache)
+        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        done = jnp.zeros((b,), bool)
+        key = jax.random.PRNGKey(7)
+        out, done, tok, cache, key = vlm.decode_chunk(
+            params, cfg, tok, done, cache, key, k=steps, eos_ids=(127,),
+            sampling=SamplingParams(temperature=0.0))
+        toks[name] = np.asarray(out)
+    np.testing.assert_array_equal(toks["paged"], toks["dense"])
+
+
+def test_unmapped_tail_pages_do_not_change_logits():
+    """Pages past the final token may be unmapped (-1): decode must mask
+    them, not read pool page 0 (which belongs to another row)."""
+    cfg = TINY
+    b, t, steps = 1, 6, 2
+    key = jax.random.PRNGKey(2)
+    params = qwen2.init(key, cfg)
+    ids = jax.random.randint(jax.random.PRNGKey(3), (b, t), 0, cfg.vocab_size)
+    seq_lens = jnp.asarray([t], jnp.int32)
+    pages_per_seq = 3  # capacity 24 >> t + steps
+
+    def run(tables):
+        cache = init_paged_cache(cfg.num_layers, b, 8, PAGE, pages_per_seq,
+                                 cfg.num_kv_heads, cfg.head_dim, jnp.float32)
+        # poison the pool so reads of unmapped pages would show
+        cache = cache._replace(
+            k_pages=jnp.full_like(cache.k_pages, 3.0),
+            v_pages=jnp.full_like(cache.v_pages, -3.0),
+            block_tables=jnp.asarray(tables, jnp.int32))
+        embeds = qwen2.embed(params, ids)
+        pos = jnp.arange(t, dtype=jnp.int32)[None]
+        mask = qwen2.prefill_mask(seq_lens, t, t)
+        hidden, cache = qwen2.forward(params, cfg, embeds, pos, cache=cache,
+                                      mask=mask, prefill=True)
+        cache = cache._replace(lengths=seq_lens)
+        outs = []
+        tok = jnp.argmax(
+            qwen2.logits_from_hidden(params, hidden, cfg)[:, -1], -1
+        ).astype(jnp.int32)
+        for _ in range(steps):
+            emb = qwen2.embed(params, tok[:, None])
+            dmask = qwen2.decode_mask(cache.lengths, cache.max_len)
+            hidden, cache = qwen2.forward(params, cfg, emb,
+                                          cache.lengths[:, None], cache=cache,
+                                          mask=dmask, prefill=False)
+            logits = qwen2.logits_from_hidden(params, hidden, cfg)
+            outs.append(np.asarray(logits))
+            tok = jnp.argmax(logits[:, 0], -1).astype(jnp.int32)
+        return outs
+
+    full = run([[1, 2, 4]])
+    tail_unmapped = run([[1, -1, -1]])  # t + steps fits in one page
+    for a, b_ in zip(full, tail_unmapped):
+        np.testing.assert_allclose(a, b_, atol=1e-5)
