@@ -145,6 +145,13 @@ def _vec(sd: StateDict, name: str, dtype) -> jnp.ndarray:
 
 def convert_vision(sd: StateDict, cfg: FastViTConfig, dtype=jnp.float32,
                    prefix: str = VISION_PREFIX) -> Dict[str, Any]:
+    from fastvlm_tpu.utils.reparam import fuse_reparam_branches, needs_fusion
+
+    if needs_fusion(sd):
+        # train-time (multi-branch) checkpoint: fuse MobileOne / RepLK /
+        # RepMixer / RepCPE branches first (reference reparameterize(),
+        # mci.py:219-330, 453-495, 819-858, 1000-1030)
+        sd = fuse_reparam_branches(sd)
     g = lambda n: prefix + n  # noqa: E731
 
     stem = [
