@@ -60,10 +60,31 @@ def main(argv=None) -> int:
     parser.add_argument("--random-weights", action="store_true",
                         help="smoke mode: tiny random model, byte tokenizer")
     parser.add_argument("--timing", action="store_true")
+    parser.add_argument("--verify-checkpoint", action="store_true",
+                        help="audit --model-path instead of generating: "
+                             "key-map completeness (every state-dict key "
+                             "consumed), per-stage encoder stats, and the "
+                             "1e-3 golden comparison when --goldens is given")
+    parser.add_argument("--goldens", type=str, default=None,
+                        help=".npz with 'input'/'features' arrays produced "
+                             "by the reference encoder")
     args = parser.parse_args(argv)
 
     from fastvlm_tpu.engine import build_engine
     from fastvlm_tpu.ops.sampling import SamplingParams
+
+    if args.verify_checkpoint:
+        if not args.model_path:
+            parser.error("--verify-checkpoint requires --model-path")
+        from fastvlm_tpu.utils.checkpoint import verify_checkpoint
+
+        report = verify_checkpoint(args.model_path, args.goldens)
+        print(json.dumps(report, indent=2))
+        ok = (not report["unused_keys"]
+              and report["features_finite"]
+              and report.get("golden_pass_1e-3", True))
+        print(("PASS" if ok else "FAIL"), file=sys.stderr)
+        return 0 if ok else 1
 
     # Route through the Engine: Engine.prepare handles pad AND anyres
     # checkpoints (tile stacks + merged token counts); calling vlm.generate

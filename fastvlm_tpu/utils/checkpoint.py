@@ -286,6 +286,107 @@ def load_vlm(checkpoint_dir: str, cfg: Optional[FastVLMConfig] = None,
 
 
 # ---------------------------------------------------------------------------
+# key-map verification (VERDICT r1 #6)
+# ---------------------------------------------------------------------------
+
+
+class _RecordingSD(dict):
+    """State-dict wrapper that records which keys the converter consumed."""
+
+    def __init__(self, sd: Mapping[str, Array]):
+        super().__init__(sd)
+        self.used: set = set()
+
+    def __getitem__(self, k):
+        self.used.add(k)
+        return super().__getitem__(k)
+
+    def __contains__(self, k):  # `name + ".bias" in sd` probes count as use
+        hit = super().__contains__(k)
+        if hit:
+            self.used.add(k)
+        return hit
+
+
+# buffers the reference model carries that hold no weights we need
+_IGNORABLE_SUFFIXES = (
+    ".rotary_emb.inv_freq",          # recomputed from rope_theta
+    ".attention_bias_cache",         # HF scratch buffers
+    ".masked_bias", ".attn.bias",    # GPT-style causal masks
+)
+
+
+def audit_key_map(sd: StateDict, cfg: FastVLMConfig) -> Dict[str, Any]:
+    """Convert ``sd`` while recording key usage; any real checkpoint key the
+    converter did NOT consume means our guessed key map diverges from the
+    reference module tree (the silent failure VERDICT r1 #6 warns about —
+    a wrong guess like ``conv_exp.se.fc1`` would pass every synthetic test
+    and only show up here, on the real file)."""
+    rec = _RecordingSD(sd)
+    params = convert_vlm(rec, cfg, jnp.float32)
+    ignorable = set()
+    if cfg.decoder.tie_word_embeddings:
+        # tied checkpoints sometimes ship the duplicated head anyway
+        ignorable.add("lm_head.weight")
+    unused = [k for k in sd if k not in rec.used and k not in ignorable
+              and not any(k.endswith(s) for s in _IGNORABLE_SUFFIXES)]
+    return {"params": params, "unused_keys": sorted(unused),
+            "used": len(rec.used), "total": len(sd)}
+
+
+def verify_checkpoint(checkpoint_dir: str,
+                      goldens_path: Optional[str] = None,
+                      cfg: Optional[FastVLMConfig] = None) -> Dict[str, Any]:
+    """Full checkpoint parity audit for when real weights are present:
+
+    1. every state-dict key consumed (key-map completeness),
+    2. stage-by-stage encoder activations on a fixed input (finite, scaled),
+    3. optional comparison against saved goldens (.npz produced by the
+       reference: keys 'input' (1,S,S,3 in [0,1]) and 'features' (1,N,C))
+       at the BASELINE 1e-3 bar.
+    """
+    from fastvlm_tpu.config import load_vlm_config
+    from fastvlm_tpu.models import fastvit, vlm
+
+    if cfg is None:
+        cfg = load_vlm_config(checkpoint_dir)
+    sd = load_state_dict(checkpoint_dir)
+    audit = audit_key_map(sd, cfg)
+    report: Dict[str, Any] = {
+        "checkpoint": checkpoint_dir,
+        "keys_total": audit["total"],
+        "keys_used": audit["used"],
+        "unused_keys": audit["unused_keys"],
+    }
+    params = audit["params"]
+
+    s = cfg.vision.image_size
+    if goldens_path and os.path.exists(goldens_path):
+        g = np.load(goldens_path)
+        x = jnp.asarray(np.asarray(g["input"], np.float32))
+    else:
+        g = None
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.rand(1, s, s, 3).astype(np.float32))
+
+    feats = np.asarray(vlm.encode_images(params, cfg, x))
+    report["features_shape"] = list(feats.shape)
+    report["features_finite"] = bool(np.all(np.isfinite(feats)))
+    report["features_abs_mean"] = float(np.abs(feats).mean())
+
+    grid = np.asarray(fastvit.features_grid(params["vision"], x, cfg.vision))
+    report["tower_grid_shape"] = list(grid.shape)
+    report["tower_grid_finite"] = bool(np.all(np.isfinite(grid)))
+
+    if g is not None and "features" in g:
+        want = np.asarray(g["features"], np.float32)
+        diff = np.abs(feats.astype(np.float32) - want)
+        report["golden_max_abs_diff"] = float(diff.max())
+        report["golden_pass_1e-3"] = bool(diff.max() <= 1e-3)
+    return report
+
+
+# ---------------------------------------------------------------------------
 # Orbax save/restore for native (converted or trained) checkpoints
 # ---------------------------------------------------------------------------
 
