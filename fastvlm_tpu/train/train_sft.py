@@ -56,6 +56,11 @@ def main(argv=None):
                         help="fully shard params over the data axis")
     parser.add_argument("--multihost", action="store_true",
                         help="initialize jax.distributed before device use")
+    parser.add_argument("--coordinator", default=None,
+                        help="coordinator host:port (omit on TPU pods — "
+                             "autodetected from the pod metadata)")
+    parser.add_argument("--num-processes", type=int, default=None)
+    parser.add_argument("--process-id", type=int, default=None)
     parser.add_argument("--platform", default=None)
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
@@ -64,10 +69,10 @@ def main(argv=None):
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
-    if args.multihost:
+    if args.multihost or args.coordinator:
         from fastvlm_tpu.parallel.distributed import initialize
 
-        initialize()
+        initialize(args.coordinator, args.num_processes, args.process_id)
 
     from fastvlm_tpu.data.preprocessing import ByteTokenizer, ImageProcessor
     from fastvlm_tpu.data.sft import DataArguments, SupervisedDataset

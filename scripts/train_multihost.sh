@@ -1,0 +1,44 @@
+#!/usr/bin/env bash
+# Multi-host training launcher — the TPU-pod equivalent of the reference's
+# torchrun/deepspeed launch (implicit in train_qwen.py + pyproject.toml:28).
+#
+# TPU pod slice: run this SAME command on every worker (e.g.
+#   gcloud compute tpus tpu-vm ssh $TPU --worker=all --command="$(pwd)/scripts/train_multihost.sh --data ...")
+# jax.distributed autodetects the coordinator from pod metadata; devices are
+# host-major so the (data, model) mesh lays DP across hosts (DCN) and TP
+# within each host's ICI domain (fastvlm_tpu/parallel/distributed.py).
+#
+#   scripts/train_multihost.sh [train_sft args...]
+#
+# Explicit cluster (no TPU metadata): export COORDINATOR=host:port,
+# NUM_PROCESSES, PROCESS_ID per worker, then run the same command.
+#
+# Plumbing check without a pod — N local processes over virtual CPU devices:
+#   scripts/train_multihost.sh --simulate 2
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+if [[ "${1:-}" == "--simulate" ]]; then
+    N="${2:-2}"
+    PORT=$(( 20000 + RANDOM % 20000 ))
+    echo "simulating $N processes, coordinator 127.0.0.1:$PORT"
+    pids=()
+    for ((i=0; i<N; i++)); do
+        python scripts/multihost_probe.py \
+            --coordinator "127.0.0.1:$PORT" \
+            --num-processes "$N" --process-id "$i" \
+            --platform cpu --local-devices 2 &
+        pids+=($!)
+    done
+    rc=0
+    for pid in "${pids[@]}"; do wait "$pid" || rc=1; done
+    exit $rc
+fi
+
+ARGS=(--multihost)
+if [[ -n "${COORDINATOR:-}" ]]; then
+    ARGS+=(--coordinator "$COORDINATOR"
+           --num-processes "${NUM_PROCESSES:?set NUM_PROCESSES}"
+           --process-id "${PROCESS_ID:?set PROCESS_ID}")
+fi
+exec python -m fastvlm_tpu.train.train_sft "${ARGS[@]}" "$@"
