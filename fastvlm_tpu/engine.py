@@ -13,6 +13,7 @@ Used by: predict CLI, serve/worker, bench, video QA loop.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import time
 from typing import Any, Dict, Iterator, List, Optional, Sequence, Tuple
 
@@ -124,18 +125,30 @@ class Engine:
         (ops/image_ops.preprocess) so the tower always emits
         cfg.num_image_tokens tokens — raw camera frames of any size are fine
         (ADVICE r1: arrays must not bypass preprocessing)."""
-        from fastvlm_tpu.ops import image_ops
-
-        arr = jnp.asarray(image)
+        arr = jnp.asarray(image)  # async host->device upload
         if arr.ndim == 3:
             arr = arr[None]
-        s = self.cfg.vision.image_size
-        if arr.shape[-3:-1] != (s, s):
+        # jit the whole transform: ONE device dispatch per frame instead of
+        # an unjitted op chain (each op costs a tunnel round-trip-class
+        # dispatch — this was ~60 ms/frame of the video loop)
+        if not hasattr(self, "_prep_array_jit"):
+            from fastvlm_tpu.ops import image_ops
+
+            s = self.cfg.vision.image_size
             mode = "pad" if self.cfg.image_aspect_ratio == "pad" else "none"
-            arr = image_ops.preprocess(arr, s, mode)
-        elif arr.dtype == jnp.uint8:
-            arr = image_ops.rescale(arr)
-        return arr.astype(self._dtype)
+            dtype = self._dtype
+
+            @functools.partial(jax.jit, static_argnames=("native",))
+            def _prep(a, native):
+                if not native:
+                    a = image_ops.preprocess(a, s, mode)
+                elif a.dtype == jnp.uint8:
+                    a = image_ops.rescale(a)
+                return a.astype(dtype)
+
+            self._prep_array_jit = _prep
+        s = self.cfg.vision.image_size
+        return self._prep_array_jit(arr, native=arr.shape[-3:-1] == (s, s))
 
     def prepare(self, prompt: str, image=None):
         """prompt: full template string (may contain <image>); image: PIL or

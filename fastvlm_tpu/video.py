@@ -62,6 +62,7 @@ class VideoQA:
 
         total_max = start + bucket + max_new_tokens
         self._dtype = engine._dtype
+        self._key = jax.random.PRNGKey(time.time_ns() % 2**31)
         self.cache = init_cache(
             cfg.decoder.num_layers, 1, total_max,
             cfg.decoder.num_kv_heads, cfg.decoder.head_dim, self._dtype)
@@ -75,11 +76,20 @@ class VideoQA:
 
         import functools
 
-        @functools.partial(jax.jit, static_argnames=("offset",))
+        from fastvlm_tpu.ops.sampling import sample
+
+        @functools.partial(jax.jit, static_argnames=("offset", "sampling"))
         def _suffix_prefill(params, images, suf_ids, suf_lens, starts, offset,
-                            cache):
-            return vlm.prefill_continue(params, cfg, images, suf_ids,
-                                        suf_lens, starts, offset, cache)
+                            cache, key, sampling):
+            """Encode + suffix prefill + first-token sample + key split in
+            ONE dispatch — every separate op on this tunnel costs a
+            round-trip-class launch (docs/PERF.md)."""
+            logits, cache = vlm.prefill_continue(params, cfg, images, suf_ids,
+                                                 suf_lens, starts, offset,
+                                                 cache)
+            key, sub = jax.random.split(key)
+            tok = sample(sub, logits, sampling)
+            return tok, cache, key
 
         self._suffix_prefill = _suffix_prefill
 
@@ -98,32 +108,40 @@ class VideoQA:
             images = engine.prepare_array_image(frame)
 
         t0 = time.perf_counter()
-        logits, cache = self._suffix_prefill(
+        tok, cache, self._key = self._suffix_prefill(
             engine.params, images, self.suffix_ids, self.suffix_lens,
-            self.suffix_starts, self.prefix_len, self.cache)
-        from fastvlm_tpu.ops.sampling import sample
-
-        key = jax.random.PRNGKey(time.time_ns() % 2**31)
-        key, sub = jax.random.split(key)
-        tok = sample(sub, logits, self.sampling)
+            self.suffix_starts, self.prefix_len, self.cache, self._key,
+            self.sampling)
         first = int(_sync(tok)[0])
         ttft_ms = (time.perf_counter() - t0) * 1000
 
+        # Camera-loop latency discipline: every tunnel round-trip costs
+        # ~25-50 ms (CLAUDE.md), so after the TTFT fetch the whole decode is
+        # dispatched WITHOUT intermediate syncs — all chunks queue on device
+        # back-to-back and one flush at the end collects the tokens. EOS
+        # rows are masked on device (decode_chunk's done flag), the host
+        # trims at EOS afterwards. Total per-frame syncs: 2.
         out = [] if first in engine.eos_ids else [first]
         done = jnp.asarray([first in engine.eos_ids])
+        key = self._key
+        chunks = []
         emitted = 1
-        while not bool(_sync(done)[0]) and emitted < self.max_new_tokens:
+        while emitted < self.max_new_tokens:
             k = min(engine.chunk, self.max_new_tokens - emitted)
             toks, done, tok, cache, key = vlm.decode_chunk(
                 engine.params, cfg, tok, done, cache, key, k=k,
                 eos_ids=engine.eos_ids, sampling=self.sampling)
-            for tk in _sync(toks)[0]:
+            chunks.append(toks)
+            emitted += k
+        self._key = key
+        if chunks and out:  # skip decode fetch if the first token was EOS
+            # concat on device: ONE host fetch regardless of chunk count
+            host = _sync(jnp.concatenate(chunks, axis=1))[0]
+            for tk in host:
                 tk = int(tk)
                 if tk in engine.eos_ids:
-                    done = jnp.asarray([True])
                     break
                 out.append(tk)
-            emitted += k
         self.cache = cache  # reuse buffers next frame (lengths reset on prefill)
         text = engine.tokenizer.decode(out, skip_special_tokens=True).strip()
         total_ms = (time.perf_counter() - t0) * 1000
