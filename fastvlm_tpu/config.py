@@ -132,6 +132,8 @@ class Qwen2Config:
     # ALiBi positions for MPT-style decoders.
     attn_window: Optional[int] = None   # Mistral sliding window (e.g. 4096)
     pos_emb: str = "rope"               # 'rope' | 'alibi'
+    norm_type: str = "rmsnorm"          # 'rmsnorm' | 'layernorm' (MPT: bias-free LN)
+    mlp_type: str = "swiglu"            # 'swiglu' | 'gelu' (MPT: up -> GELU -> down)
     param_dtype: str = "float32"
     compute_dtype: str = "float32"
     # decode attention backend: 'xla' (default) or 'pallas' — the blocked
@@ -178,6 +180,20 @@ def llama_7b(**kw) -> Qwen2Config:
         num_kv_heads=32, head_dim=128, intermediate_size=11008,
         rope_theta=10000.0, rms_eps=1e-5, tie_word_embeddings=False,
         qkv_bias=False,
+    )
+    base.update(kw)
+    return Qwen2Config(**base)
+
+
+def mpt_7b(**kw) -> Qwen2Config:
+    """MPT family (reference llava_mpt.py defers to HF MptForCausalLM):
+    ALiBi positions, bias-free LayerNorm, GELU MLP, fused bias-free QKV,
+    tied embeddings."""
+    base = dict(
+        vocab_size=50432, hidden_size=4096, num_layers=32, num_heads=32,
+        num_kv_heads=32, head_dim=128, intermediate_size=16384,
+        rms_eps=1e-5, tie_word_embeddings=True, qkv_bias=False,
+        pos_emb="alibi", norm_type="layernorm", mlp_type="gelu",
     )
     base.update(kw)
     return Qwen2Config(**base)

@@ -55,17 +55,19 @@ def _dense(key, cin, cout, dtype, bias, std=0.02):
 def _layer_init(key, cfg: Qwen2Config, dtype):
     ks = jax.random.split(key, 7)
     d = cfg.hidden_size
-    return {
+    p = {
         "ln1": jnp.ones((d,), dtype),
         "q": _dense(ks[0], d, cfg.q_dim, dtype, cfg.qkv_bias),
         "k": _dense(ks[1], d, cfg.kv_dim, dtype, cfg.qkv_bias),
         "v": _dense(ks[2], d, cfg.kv_dim, dtype, cfg.qkv_bias),
         "o": _dense(ks[3], cfg.q_dim, d, dtype, bias=False),
         "ln2": jnp.ones((d,), dtype),
-        "gate": _dense(ks[4], d, cfg.intermediate_size, dtype, bias=False),
         "up": _dense(ks[5], d, cfg.intermediate_size, dtype, bias=False),
         "down": _dense(ks[6], cfg.intermediate_size, d, dtype, bias=False),
     }
+    if cfg.mlp_type == "swiglu":
+        p["gate"] = _dense(ks[4], d, cfg.intermediate_size, dtype, bias=False)
+    return p
 
 
 def init(key, cfg: Qwen2Config) -> Params:
@@ -115,6 +117,35 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray):
 # ---------------------------------------------------------------------------
 # attention / layer body
 # ---------------------------------------------------------------------------
+
+
+def _norm(x, w, cfg: Qwen2Config):
+    """Pre-norm dispatch: RMSNorm (Qwen/Llama/Mistral) or bias-free
+    LayerNorm (MPT, HF MptForCausalLM uses nn.LayerNorm with bias=None)."""
+    if cfg.norm_type == "layernorm":
+        xf = x.astype(jnp.float32)
+        mu = xf.mean(-1, keepdims=True)
+        var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+        return ((xf - mu) * jax.lax.rsqrt(var + cfg.rms_eps)).astype(x.dtype) \
+            * w.astype(x.dtype)
+    return rms_norm(x, w, cfg.rms_eps)
+
+
+def _mlp(h, lp, cfg: Qwen2Config):
+    """SwiGLU (gate*up) or plain up->GELU->down (MPT)."""
+    if "gateup" in lp:
+        gu = _project(h, lp["gateup"])
+        gate, up = jnp.split(gu, 2, axis=-1)
+        gated = jax.nn.silu(gate.astype(jnp.float32)).astype(h.dtype) * up
+    elif "gate" in lp:
+        gated = jax.nn.silu(
+            _project(h, lp["gate"]).astype(jnp.float32)
+        ).astype(h.dtype) * _project(h, lp["up"])
+    else:  # MPT GELU MLP (exact erf, matching HF's default approximate='none')
+        gated = jax.nn.gelu(
+            _project(h, lp["up"]).astype(jnp.float32), approximate=False
+        ).astype(h.dtype)
+    return _project(gated, lp["down"])
 
 
 def _project(x, p):
@@ -181,9 +212,11 @@ def fuse_decoder_params(params: Params, cfg: Qwen2Config) -> Params:
         qkv["b"] = jnp.concatenate(
             [layers["q"]["b"], layers["k"]["b"], layers["v"]["b"]], axis=-1)
     layers["qkv"] = qkv
-    layers["gateup"] = {"w": jnp.concatenate(
-        [layers["gate"]["w"], layers["up"]["w"]], axis=-1)}
-    for k in ("q", "k", "v", "gate", "up"):
+    if "gate" in layers:
+        layers["gateup"] = {"w": jnp.concatenate(
+            [layers["gate"]["w"], layers["up"]["w"]], axis=-1)}
+        del layers["gate"], layers["up"]
+    for k in ("q", "k", "v"):
         del layers[k]
     out = dict(params)
     out["layers"] = layers
@@ -212,7 +245,7 @@ def _layer(x, lp, cfg: Qwen2Config, cos, sin, cache_k, cache_v, mask, lengths,
     slices when ``block_tables`` is given (paged serving layout), or None
     (no cache — training self-attention)."""
     b, t, d = x.shape
-    h = rms_norm(x, lp["ln1"], cfg.rms_eps)
+    h = _norm(x, lp["ln1"], cfg)
     if "qkv" in lp:
         qkv = _project(h, lp["qkv"])
         q, k, v = jnp.split(qkv, [cfg.q_dim, cfg.q_dim + cfg.kv_dim], axis=-1)
@@ -281,16 +314,8 @@ def _layer(x, lp, cfg: Qwen2Config, cos, sin, cache_k, cache_v, mask, lengths,
                        bias)
     x = x + _project(attn, lp["o"]).reshape(b, t, d)
 
-    h = rms_norm(x, lp["ln2"], cfg.rms_eps)
-    if "gateup" in lp:
-        gu = _project(h, lp["gateup"])
-        gate, up = jnp.split(gu, 2, axis=-1)
-        gated = jax.nn.silu(gate.astype(jnp.float32)).astype(h.dtype) * up
-    else:
-        gated = jax.nn.silu(
-            _project(h, lp["gate"]).astype(jnp.float32)
-        ).astype(h.dtype) * _project(h, lp["up"])
-    x = x + _project(gated, lp["down"])
+    h = _norm(x, lp["ln2"], cfg)
+    x = x + _mlp(h, lp, cfg)
     return x, new_cache
 
 
@@ -398,7 +423,7 @@ def forward(
         # prefill rows may be padded; caller overrides lengths afterwards if so
         new_cache = KVCache(k=nk, v=nv, lengths=new_lengths)
 
-    x = rms_norm(x, params["final_norm"], cfg.rms_eps)
+    x = _norm(x, params["final_norm"], cfg)
     return x, new_cache
 
 

@@ -263,6 +263,35 @@ def convert_decoder(sd: StateDict, cfg: Qwen2Config, dtype=jnp.float32,
     return params
 
 
+def convert_decoder_mpt(sd: StateDict, cfg: Qwen2Config, dtype=jnp.float32,
+                        prefix: str = "") -> Dict[str, Any]:
+    """HF MptForCausalLM state dict -> our param tree (reference
+    llava_mpt.py defers to HF MPT: transformer.blocks.*, fused bias-free
+    Wqkv, bias-free LayerNorm, up/down GELU MLP, tied embeddings)."""
+    g = lambda n: prefix + n  # noqa: E731
+    qd, kvd = cfg.q_dim, cfg.kv_dim
+    layers = []
+    for i in range(cfg.num_layers):
+        base = g(f"transformer.blocks.{i}.")
+        wqkv = np.asarray(sd[base + "attn.Wqkv.weight"], np.float32)
+        layers.append({
+            "ln1": _vec(sd, base + "norm_1.weight", dtype),
+            "q": {"w": jnp.asarray(wqkv[:qd].T, dtype)},
+            "k": {"w": jnp.asarray(wqkv[qd:qd + kvd].T, dtype)},
+            "v": {"w": jnp.asarray(wqkv[qd + kvd:].T, dtype)},
+            "o": _linear(sd, base + "attn.out_proj", dtype, bias=False),
+            "ln2": _vec(sd, base + "norm_2.weight", dtype),
+            "up": _linear(sd, base + "ffn.up_proj", dtype, bias=False),
+            "down": _linear(sd, base + "ffn.down_proj", dtype, bias=False),
+        })
+    return {
+        "embed": jnp.asarray(
+            np.asarray(sd[g("transformer.wte.weight")], np.float32), dtype),
+        "layers": jax.tree.map(lambda *xs: jnp.stack(xs), *layers),
+        "final_norm": _vec(sd, g("transformer.norm_f.weight"), dtype),
+    }
+
+
 def convert_vlm(sd: StateDict, cfg: FastVLMConfig, dtype=jnp.float32) -> Dict[str, Any]:
     params = {
         "vision": convert_vision(sd, cfg.vision, dtype),
