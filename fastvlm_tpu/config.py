@@ -270,6 +270,8 @@ def decoder_from_hf_dict(d: Dict[str, Any], **overrides) -> Qwen2Config:
         kw["head_dim"] = d["head_dim"]
     elif "hidden_size" in kw and "num_heads" in kw:
         kw["head_dim"] = kw["hidden_size"] // kw["num_heads"]
+    if "attn_backend" in d:  # our knob: 'xla' | 'pallas' decode attention
+        kw["attn_backend"] = d["attn_backend"]
     kw.update(overrides)
     return Qwen2Config(**kw)
 
