@@ -31,7 +31,7 @@ REFERENCE_TTFT_MS = 165.0  # docs/acc_vs_latency_qwen-2.png @ 1024^2
 
 
 def make_model(size: str, image_size: int, dtype: str,
-               quantize_bits=None, fuse: bool = True):
+               quantize_bits=None, fuse: bool = True, act_quant: bool = False):
     import jax
 
     from fastvlm_tpu import config as C
@@ -74,7 +74,8 @@ def make_model(size: str, image_size: int, dtype: str,
 
             qabstract = dict(abstract)
             qabstract["decoder"] = jax.eval_shape(
-                lambda p: quantize_decoder(p, quantize_bits),
+                lambda p: quantize_decoder(p, quantize_bits,
+                                           act_quant=act_quant),
                 abstract["decoder"])
             params = jax.tree.map(materialize, qabstract)
         params = jax.device_put(params, jax.devices()[0])
@@ -264,6 +265,10 @@ CONFIGS = {
     "1.5b-vqa": dict(size="1.5b", image_size=1024, batch=1, mode="ttft"),
     "7b-batch8": dict(size="7b", image_size=1024, batch=8, mode="ttft",
                       quantize_bits=8),
+    # W8A8: int8 activations too -> the MXU's 2x-rate integer path
+    # (docs/PERF.md batch-8 roofline section)
+    "7b-batch8-w8a8": dict(size="7b", image_size=1024, batch=8, mode="ttft",
+                           quantize_bits=8, act_quant=True),
     "ocr-1536": dict(size="0.5b", image_size=1536, batch=1, mode="ttft"),
     "video-qa": dict(size="0.5b", image_size=1024, batch=1, mode="video"),
     "decode": dict(size="0.5b", image_size=1024, batch=1, mode="decode"),
@@ -292,9 +297,11 @@ def main(argv=None) -> int:
             c["size"], c["image_size"], c["batch"]
         mode = c["mode"]
         args.quantize_bits = c.get("quantize_bits", args.quantize_bits)
+        args.act_quant = c.get("act_quant", False)
 
     cfg, params = make_model(args.size, args.image_size, args.dtype,
-                             quantize_bits=args.quantize_bits)
+                             quantize_bits=args.quantize_bits,
+                             act_quant=getattr(args, "act_quant", False))
 
     if mode == "video":
         p50, times = bench_video(cfg, params)

@@ -41,10 +41,18 @@ def _quantize_array(w: jnp.ndarray, bits: int):
     return (low | high).astype(jnp.int8), scale.astype(jnp.float32)
 
 
-def quantize_linear(p: Dict[str, Any], bits: int = 8) -> Dict[str, Any]:
-    """{"w": (..., cin, cout) float, "b"?} -> {"w_q", "scale", "b"?}."""
+def quantize_linear(p: Dict[str, Any], bits: int = 8,
+                    act_quant: bool = False) -> Dict[str, Any]:
+    """{"w": (..., cin, cout) float, "b"?} -> {"w_q", "scale", "b"?}.
+
+    act_quant=True marks the linear for W8A8 execution (dynamic per-token
+    int8 activations -> int8xint8 MXU dot, ~2.2x bf16 FLOP throughput on
+    v5e — see docs/PERF.md). The marker is an array leaf shaped to follow
+    the stacked-layer leading axes so lax.scan can slice it."""
     w_q, scale = _quantize_array(jnp.asarray(p["w"]), bits)
     out: Dict[str, Any] = {"w_q": w_q, "scale": scale}
+    if act_quant:
+        out["a8"] = jnp.ones(scale.shape[:-1] + (1,), jnp.int8)
     if "b" in p:
         out["b"] = p["b"]
     return out
@@ -77,22 +85,37 @@ def dequantize(p: Dict[str, Any], cin: int) -> jnp.ndarray:
 
 def quantized_matmul(x: jnp.ndarray, p: Dict[str, Any]) -> jnp.ndarray:
     """x (..., cin) @ dequant(w) + b; f32 accumulation, per-cout scales on
-    the output (exact for per-channel weight-only quantization)."""
+    the output (exact for per-channel weight-only quantization).
+
+    With the "a8" marker (quantize_linear(act_quant=True)): dynamic
+    per-token symmetric int8 activation quantization and an int8 x int8 ->
+    int32 dot — the MXU's 2x-rate integer path. Output = int32 accumulator
+    * x_scale (per token) * w_scale (per channel)."""
     w = unpacked_weight(p, x.shape[-1])
-    out = jnp.einsum("...d,df->...f", x, w.astype(x.dtype),
-                     preferred_element_type=jnp.float32)
-    out = out * p["scale"]
+    if "a8" in p:
+        xf = x.astype(jnp.float32)
+        x_scale = jnp.abs(xf).max(axis=-1, keepdims=True) / 127.0
+        x_scale = jnp.where(x_scale == 0, 1.0, x_scale)
+        x_q = jnp.clip(jnp.round(xf / x_scale), -127, 127).astype(jnp.int8)
+        acc = jnp.einsum("...d,df->...f", x_q, w,
+                         preferred_element_type=jnp.int32)
+        out = acc.astype(jnp.float32) * x_scale * p["scale"]
+    else:
+        out = jnp.einsum("...d,df->...f", x, w.astype(x.dtype),
+                         preferred_element_type=jnp.float32)
+        out = out * p["scale"]
     if "b" in p:
         out = out + p["b"].astype(jnp.float32)
     return out.astype(x.dtype)
 
 
 def quantize_decoder(params: Dict[str, Any], bits: int = 8,
-                     skip: tuple = ()) -> Dict[str, Any]:
+                     skip: tuple = (), act_quant: bool = False) -> Dict[str, Any]:
     """Quantize every linear in a (stacked-layer) decoder param tree.
 
     Embeddings and norms stay full precision (the embed doubles as the tied
-    LM head). Stacked (L, cin, cout) weights quantize per layer+channel."""
+    LM head). Stacked (L, cin, cout) weights quantize per layer+channel.
+    act_quant=True additionally runs those linears W8A8 (int8 MXU)."""
     out = dict(params)
     qlayers = {}
     for name, sub in params["layers"].items():
@@ -100,8 +123,9 @@ def quantize_decoder(params: Dict[str, Any], bits: int = 8,
                 isinstance(sub, dict) and "w" in sub):
             qlayers[name] = sub
         else:
-            qlayers[name] = quantize_linear(sub, bits)
+            qlayers[name] = quantize_linear(sub, bits, act_quant=act_quant)
     out["layers"] = qlayers
     if "lm_head" in params and "lm_head" not in skip:
-        out["lm_head"] = quantize_linear(params["lm_head"], bits)
+        out["lm_head"] = quantize_linear(params["lm_head"], bits,
+                                         act_quant=act_quant)
     return out

@@ -87,3 +87,40 @@ def test_export_vision_encoder_roundtrip(tmp_path):
     got = np.asarray(fn(params, x))
     want = np.asarray(fastvit.apply(params, x, vision))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_w8a8_matmul_close_to_float():
+    """W8A8 (dynamic per-token int8 activations, int8 MXU dot) must track
+    the float matmul within quantization noise (docs/PERF.md: the 2x-rate
+    integer path that breaks the b8 prefill roofline)."""
+    rng = np.random.RandomState(3)
+    x = rng.randn(5, 64).astype(np.float32)
+    w = rng.randn(64, 32).astype(np.float32) * 0.1
+    b = rng.randn(32).astype(np.float32) * 0.1
+    q = quant.quantize_linear({"w": jnp.asarray(w), "b": jnp.asarray(b)},
+                              bits=8, act_quant=True)
+    assert "a8" in q
+    got = np.asarray(quant.quantized_matmul(jnp.asarray(x), q))
+    want = x @ w + b
+    denom = np.abs(want).mean()
+    assert np.abs(got - want).mean() / denom < 0.02, (got, want)
+
+
+def test_w8a8_decoder_same_argmax():
+    cfg = Qwen2Config(vocab_size=128, hidden_size=64, num_layers=2,
+                      num_heads=4, num_kv_heads=2, head_dim=16,
+                      intermediate_size=128, tie_word_embeddings=True)
+    params = qwen2.init(jax.random.PRNGKey(0), cfg)
+    ids = np.array([[5, 9, 22, 77]], np.int32)
+    e = qwen2.embed(params, jnp.asarray(ids))
+    pos = jnp.arange(4)[None]
+    h_ref, _ = qwen2.forward(params, cfg, e, pos)
+    ref = np.asarray(qwen2.logits_from_hidden(params, h_ref, cfg))
+
+    qparams = dict(params)
+    qparams["layers"] = quant.quantize_decoder(
+        params, bits=8, act_quant=True)["layers"]
+    h_q, _ = qwen2.forward(qparams, cfg, e, pos)
+    got = np.asarray(qwen2.logits_from_hidden(qparams, h_q, cfg))
+    np.testing.assert_allclose(got, ref, rtol=0.15, atol=0.2)
+    np.testing.assert_array_equal(got.argmax(-1), ref.argmax(-1))
