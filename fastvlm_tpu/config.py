@@ -276,15 +276,42 @@ def decoder_from_hf_dict(d: Dict[str, Any], **overrides) -> Qwen2Config:
     return Qwen2Config(**kw)
 
 
+def mpt_decoder_from_hf_dict(d: Dict[str, Any], **overrides) -> Qwen2Config:
+    """MPT-style config.json (d_model/n_heads/n_layers keys; reference
+    llava_mpt.py subclasses MptConfig). LlavaMptForCausalLM carries a
+    separate lm_head Linear -> untied."""
+    dm = d.get("d_model", 4096)
+    heads = d.get("n_heads", 32)
+    kw = dict(
+        vocab_size=d.get("vocab_size", 50432),
+        hidden_size=dm,
+        num_layers=d.get("n_layers", 32),
+        num_heads=heads,
+        num_kv_heads=heads,
+        head_dim=dm // heads,
+        intermediate_size=int(d.get("expansion_ratio", 4) * dm),
+        rms_eps=d.get("layer_norm_epsilon", 1e-5),
+        tie_word_embeddings=d.get("tie_word_embeddings", False),
+        qkv_bias=not d.get("no_bias", True),
+        pos_emb="alibi", norm_type="layernorm", mlp_type="gelu",
+    )
+    kw.update(overrides)
+    return Qwen2Config(**kw)
+
+
 def vlm_config_from_hf_dict(d: Dict[str, Any], **overrides) -> FastVLMConfig:
     """Build a FastVLMConfig from a reference-style HF config.json dict.
 
     Understands the mm_* keys written at train time
-    (reference train_qwen.py:1179-1201) and the mobileclip tower naming
+    (reference train_qwen.py:1179-1201), the mobileclip tower naming
     convention ``mobileclip_l_1024`` whose suffix sets the input resolution
-    (reference mobileclip_encoder.py:20).
+    (reference mobileclip_encoder.py:20), and the llava_mpt model type
+    (MptConfig-style d_model/n_heads keys, reference llava_mpt.py).
     """
-    decoder = decoder_from_hf_dict(d)
+    if d.get("model_type") in ("llava_mpt", "mpt") or "d_model" in d:
+        decoder = mpt_decoder_from_hf_dict(d)
+    else:
+        decoder = decoder_from_hf_dict(d)
 
     image_size = 1024
     tower = d.get("mm_vision_tower", d.get("vision_tower", "mobileclip_l_1024"))

@@ -120,11 +120,19 @@ class Engine:
         return conv.get_prompt()
 
     def prepare_array_image(self, image) -> jnp.ndarray:
-        """(H, W, 3) / (B, H, W, 3) uint8 or float array -> (B, S, S, 3)
+        """(H, W, 3) / (B, H, W, 3) uint8 [0,255] or float array ([0,1], or
+        [0,255] numpy floats — detected host-side) -> (B, S, S, 3)
         model-dtype images. Non-native sizes are resized/padded on device
         (ops/image_ops.preprocess) so the tower always emits
         cfg.num_image_tokens tokens — raw camera frames of any size are fine
         (ADVICE r1: arrays must not bypass preprocessing)."""
+        # float arrays commonly arrive in [0,255] (np.asarray(pil_img)); a
+        # host-side peek on the numpy input decides the /255 rescale as a
+        # STATIC jit arg (values are dynamic under jit, dtypes aren't)
+        scale255 = False
+        if isinstance(image, np.ndarray) and image.dtype.kind == "f" \
+                and image.size and float(image.max()) > 1.5:
+            scale255 = True
         arr = jnp.asarray(image)  # async host->device upload
         if arr.ndim == 3:
             arr = arr[None]
@@ -138,8 +146,10 @@ class Engine:
             mode = "pad" if self.cfg.image_aspect_ratio == "pad" else "none"
             dtype = self._dtype
 
-            @functools.partial(jax.jit, static_argnames=("native",))
-            def _prep(a, native):
+            @functools.partial(jax.jit, static_argnames=("native", "scale255"))
+            def _prep(a, native, scale255):
+                if scale255:
+                    a = a.astype(jnp.float32) / 255.0
                 if not native:
                     a = image_ops.preprocess(a, s, mode)
                 elif a.dtype == jnp.uint8:
@@ -148,7 +158,8 @@ class Engine:
 
             self._prep_array_jit = _prep
         s = self.cfg.vision.image_size
-        return self._prep_array_jit(arr, native=arr.shape[-3:-1] == (s, s))
+        return self._prep_array_jit(arr, native=arr.shape[-3:-1] == (s, s),
+                                    scale255=scale255)
 
     def prepare(self, prompt: str, image=None):
         """prompt: full template string (may contain <image>); image: PIL or
@@ -253,13 +264,7 @@ class Engine:
         one expensive tower program per grid shape (VERDICT r1 #4)."""
         tower, merge, _ = self._tile_fns
         grids = tower(self.params, tiles)
-        crop_box = None
-        if "unpad" in self.cfg.mm_patch_merge_type:
-            from fastvlm_tpu.ops.anyres import unpad_hw
-
-            h = w = self.cfg.vision.grid_size
-            gw, gh = grid_shape
-            crop_box = unpad_hw((gh * h, gw * w), original_size)
+        crop_box = vlm.anyres_crop_box(self.cfg, grid_shape, original_size)
         return merge(self.params, grids, grid_shape, crop_box)
 
     @property

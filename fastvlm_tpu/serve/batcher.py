@@ -349,6 +349,7 @@ class BatchScheduler:
 
         done = jnp.asarray([finished[i] or caps[i] <= 1 for i in range(b)])
         chunk_idx = 0
+        batch_ok = False
         try:
             while not all(finished) and max(
                     emitted[i] for i in range(n_real) if not finished[i]) < max_new:
@@ -381,13 +382,19 @@ class BatchScheduler:
                 for i in range(n_real):
                     if host_done[i]:
                         finished[i] = True
+            batch_ok = True
         finally:
             if tables is not None:
                 for pgs in row_pages:
                     self.pool.release(pgs)
                 row_pages = [[] for _ in range(b)]
-                # keep the (donated-through) pool arrays for the next batch
-                self._pool_kv = (cache.k_pages, cache.v_pages)
+                if batch_ok:
+                    # keep the (donated-through) pool arrays for the next batch
+                    self._pool_kv = (cache.k_pages, cache.v_pages)
+                else:
+                    # a failed dispatch may have donated/poisoned the pool
+                    # arrays — drop them so the next batch reallocates clean
+                    self._pool_kv = None
 
         for r in batch:
             r.out.put(_SENTINEL)

@@ -284,15 +284,34 @@ def convert_decoder_mpt(sd: StateDict, cfg: Qwen2Config, dtype=jnp.float32,
             "up": _linear(sd, base + "ffn.up_proj", dtype, bias=False),
             "down": _linear(sd, base + "ffn.down_proj", dtype, bias=False),
         })
-    return {
+    params = {
         "embed": jnp.asarray(
             np.asarray(sd[g("transformer.wte.weight")], np.float32), dtype),
         "layers": jax.tree.map(lambda *xs: jnp.stack(xs), *layers),
         "final_norm": _vec(sd, g("transformer.norm_f.weight"), dtype),
     }
+    if not cfg.tie_word_embeddings and g("lm_head.weight") in sd:
+        # LlavaMptForCausalLM carries a separate lm_head (llava_mpt.py:47)
+        params["lm_head"] = _linear(sd, g("lm_head"), dtype, bias=False)
+    return params
 
 
 def convert_vlm(sd: StateDict, cfg: FastVLMConfig, dtype=jnp.float32) -> Dict[str, Any]:
+    if any(k.startswith("transformer.blocks.") for k in sd):
+        # llava_mpt layout: everything roots under `transformer.` because
+        # get_model() IS the MptModel (reference llava_mpt.py:29-53)
+        params = {
+            "vision": convert_vision(
+                sd, cfg.vision, dtype,
+                prefix="transformer.vision_tower.vision_tower.model."),
+            "projector": convert_projector(
+                sd, cfg.projector, dtype, prefix="transformer.mm_projector."),
+            "decoder": convert_decoder_mpt(sd, cfg.decoder, dtype),
+        }
+        if "transformer.image_newline" in sd:
+            params["image_newline"] = _vec(sd, "transformer.image_newline",
+                                           dtype)
+        return params
     params = {
         "vision": convert_vision(sd, cfg.vision, dtype),
         "projector": convert_projector(sd, cfg.projector, dtype),
@@ -351,6 +370,18 @@ def audit_key_map(sd: StateDict, cfg: FastVLMConfig) -> Dict[str, Any]:
     reference module tree (the silent failure VERDICT r1 #6 warns about —
     a wrong guess like ``conv_exp.se.fc1`` would pass every synthetic test
     and only show up here, on the real file)."""
+    from fastvlm_tpu.utils.reparam import fuse_reparam_branches, needs_fusion
+
+    fused_branches = False
+    if needs_fusion(sd):
+        # Pre-fuse train-mode branches HERE so the recording wrapper sees
+        # the converter's reads. (convert_vision would otherwise rebind sd
+        # to fuse_reparam_branches' plain dict and the audit would falsely
+        # report every vision key unused.) Fusion consumes exactly the
+        # branch keys it understands, so auditing the fused dict is still a
+        # complete audit of the original file.
+        sd = fuse_reparam_branches(sd)
+        fused_branches = True
     rec = _RecordingSD(sd)
     params = convert_vlm(rec, cfg, jnp.float32)
     ignorable = set()
@@ -360,7 +391,8 @@ def audit_key_map(sd: StateDict, cfg: FastVLMConfig) -> Dict[str, Any]:
     unused = [k for k in sd if k not in rec.used and k not in ignorable
               and not any(k.endswith(s) for s in _IGNORABLE_SUFFIXES)]
     return {"params": params, "unused_keys": sorted(unused),
-            "used": len(rec.used), "total": len(sd)}
+            "used": len(rec.used), "total": len(sd),
+            "fused_train_branches": fused_branches}
 
 
 def verify_checkpoint(checkpoint_dir: str,
@@ -390,7 +422,10 @@ def verify_checkpoint(checkpoint_dir: str,
     params = audit["params"]
 
     s = cfg.vision.image_size
-    if goldens_path and os.path.exists(goldens_path):
+    if goldens_path:
+        if not os.path.exists(goldens_path):
+            # a typo'd goldens path must NOT silently downgrade to PASS
+            raise FileNotFoundError(f"goldens file not found: {goldens_path}")
         g = np.load(goldens_path)
         x = jnp.asarray(np.asarray(g["input"], np.float32))
     else:

@@ -176,8 +176,42 @@ def export_decoder(params: Dict[str, Any], cfg, sd: Dict[str, Array],
         _linear_out(sd, g("lm_head"), params["lm_head"])
 
 
+def export_decoder_mpt(params: Dict[str, Any], cfg, sd: Dict[str, Array],
+                       prefix: str = "") -> None:
+    """Inverse of checkpoint.convert_decoder_mpt: transformer.blocks.* keys,
+    q/k/v re-fused into Wqkv, separate lm_head when untied."""
+    g = lambda n: prefix + n  # noqa: E731
+    sd[g("transformer.wte.weight")] = _np32(params["embed"])
+    layers = _split_fused(params["layers"], cfg)
+    for i in range(cfg.num_layers):
+        lp = _unstack(layers, i)
+        base = g(f"transformer.blocks.{i}.")
+        sd[base + "norm_1.weight"] = _np32(lp["ln1"])
+        sd[base + "attn.Wqkv.weight"] = np.concatenate(
+            [_np32(lp["q"]["w"]).T, _np32(lp["k"]["w"]).T,
+             _np32(lp["v"]["w"]).T], axis=0)
+        _linear_out(sd, base + "attn.out_proj", lp["o"])
+        sd[base + "norm_2.weight"] = _np32(lp["ln2"])
+        _linear_out(sd, base + "ffn.up_proj", lp["up"])
+        _linear_out(sd, base + "ffn.down_proj", lp["down"])
+    sd[g("transformer.norm_f.weight")] = _np32(params["final_norm"])
+    if not cfg.tie_word_embeddings and "lm_head" in params:
+        _linear_out(sd, g("lm_head"), params["lm_head"])
+
+
 def export_state_dict(params: Dict[str, Any], cfg: FastVLMConfig) -> Dict[str, Array]:
     sd: Dict[str, Array] = {}
+    if cfg.decoder.mlp_type == "gelu":
+        # llava_mpt layout: everything under `transformer.`
+        # (reference llava_mpt.py:29-53)
+        export_vision(params["vision"], cfg.vision, sd,
+                      prefix="transformer.vision_tower.vision_tower.model.")
+        export_projector(params["projector"], sd,
+                         prefix="transformer.mm_projector.")
+        export_decoder_mpt(params["decoder"], cfg.decoder, sd)
+        if "image_newline" in params:
+            sd["transformer.image_newline"] = _np32(params["image_newline"])
+        return sd
     export_vision(params["vision"], cfg.vision, sd)
     export_projector(params["projector"], sd)
     export_decoder(params["decoder"], cfg.decoder, sd)
@@ -190,6 +224,33 @@ def vlm_config_to_hf_dict(cfg: FastVLMConfig) -> Dict[str, Any]:
     """Reference-style config.json (inverse of config.vlm_config_from_hf_dict;
     mm_* keys per reference train_qwen.py:1179-1201)."""
     d = cfg.decoder
+    mm = {
+        "mm_vision_tower": f"mobileclip_l_{cfg.vision.image_size}",
+        "mm_hidden_size": cfg.projector.mm_hidden_size,
+        "mm_projector_type": cfg.projector.projector_type,
+        "mm_patch_merge_type": cfg.mm_patch_merge_type,
+        "image_aspect_ratio": cfg.image_aspect_ratio,
+        "mm_use_im_start_end": False,
+        "mm_use_im_patch_token": False,
+    }
+    if cfg.image_grid_pinpoints:
+        mm["image_grid_pinpoints"] = [list(p) for p in cfg.image_grid_pinpoints]
+    if d.mlp_type == "gelu":  # MPT family (MptConfig field names)
+        out = {
+            "architectures": ["LlavaMptForCausalLM"],
+            "model_type": "llava_mpt",
+            "vocab_size": d.vocab_size,
+            "d_model": d.hidden_size,
+            "n_heads": d.num_heads,
+            "n_layers": d.num_layers,
+            "expansion_ratio": d.intermediate_size / d.hidden_size,
+            "layer_norm_epsilon": d.rms_eps,
+            "tie_word_embeddings": d.tie_word_embeddings,
+            "no_bias": not d.qkv_bias,
+            "torch_dtype": "float32",
+        }
+        out.update(mm)
+        return out
     out = {
         "architectures": ["LlavaQwen2ForCausalLM"],
         "model_type": "llava_qwen2",
@@ -205,16 +266,8 @@ def vlm_config_to_hf_dict(cfg: FastVLMConfig) -> Dict[str, Any]:
         "tie_word_embeddings": d.tie_word_embeddings,
         "max_position_embeddings": d.max_position_embeddings,
         "torch_dtype": "float32",
-        "mm_vision_tower": f"mobileclip_l_{cfg.vision.image_size}",
-        "mm_hidden_size": cfg.projector.mm_hidden_size,
-        "mm_projector_type": cfg.projector.projector_type,
-        "mm_patch_merge_type": cfg.mm_patch_merge_type,
-        "image_aspect_ratio": cfg.image_aspect_ratio,
-        "mm_use_im_start_end": False,
-        "mm_use_im_patch_token": False,
     }
-    if cfg.image_grid_pinpoints:
-        out["image_grid_pinpoints"] = [list(p) for p in cfg.image_grid_pinpoints]
+    out.update(mm)
     return out
 
 

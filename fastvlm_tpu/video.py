@@ -126,7 +126,8 @@ class VideoQA:
         key = self._key
         chunks = []
         emitted = 1
-        while emitted < self.max_new_tokens:
+        # first token already EOS (known on host): dispatch nothing
+        while out and emitted < self.max_new_tokens:
             k = min(engine.chunk, self.max_new_tokens - emitted)
             toks, done, tok, cache, key = vlm.decode_chunk(
                 engine.params, cfg, tok, done, cache, key, k=k,

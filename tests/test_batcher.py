@@ -172,3 +172,40 @@ def test_paged_pool_exhaustion_truncates_not_crashes(engine):
         assert sched.pool.free_pages == sched.pool.num_pages
     finally:
         sched.shutdown()
+
+
+def test_paged_pool_recovers_after_batch_failure(engine):
+    """A failed batch must not poison the persistent page-pool arrays
+    (decode_chunk donates them) — the next batch reallocates clean."""
+    import fastvlm_tpu.serve.batcher as B
+    from fastvlm_tpu.models import vlm as vlm_mod
+
+    sched = BatchScheduler(engine, window_ms=5, paged=True,
+                           page_size=16, pool_tokens=4096)
+    orig = vlm_mod.decode_chunk
+    calls = {"n": 0}
+
+    def boom(*a, **k):
+        calls["n"] += 1
+        raise RuntimeError("injected decode failure")
+
+    try:
+        vlm_mod.decode_chunk = boom
+        updates = list(sched.submit(engine.build_prompt("fail me"),
+                                    max_new_tokens=8))
+        assert any("error" in u for u in updates), updates
+        assert calls["n"] == 1
+        assert sched._pool_kv is None  # dropped, not poisoned
+        assert sched.pool.free_pages == sched.pool.num_pages
+    finally:
+        vlm_mod.decode_chunk = orig
+
+    try:
+        want, _ = engine.chat("recover", max_new_tokens=6)
+        updates = list(sched.submit(engine.build_prompt("recover"),
+                                    max_new_tokens=6))
+        assert "error" not in updates[-1], updates[-1]
+        assert updates[-1]["text"] == want
+        assert sched.pool.free_pages == sched.pool.num_pages
+    finally:
+        sched.shutdown()

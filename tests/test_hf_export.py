@@ -135,3 +135,40 @@ def test_rejects_quantized_and_lora():
     lparams["layers"] = layers
     with pytest.raises(ValueError, match="LoRA"):
         export_decoder(lparams, DEC, {})
+
+
+def test_mpt_vlm_roundtrip_bit_exact(tmp_path):
+    """llava_mpt layout (transformer.* keys): export -> load_vlm-style
+    convert -> identical params, and the emitted config.json round-trips
+    back into an MPT-family decoder config."""
+    from fastvlm_tpu.config import mpt_7b, vlm_config_from_hf_dict
+
+    dec = mpt_7b(vocab_size=128, hidden_size=32, num_layers=2, num_heads=4,
+                 num_kv_heads=4, head_dim=8, intermediate_size=128,
+                 tie_word_embeddings=False)
+    cfg = full_cfg(decoder=dec,
+                   projector=ProjectorConfig(mm_hidden_size=VIS.out_channels,
+                                             hidden_size=dec.hidden_size))
+    params = vlm.init(jax.random.PRNGKey(5), cfg)
+    out = export_hf(params, cfg, str(tmp_path / "mpt"))
+
+    d = json.load(open(os.path.join(out, "config.json")))
+    assert d["model_type"] == "llava_mpt"
+    cfg2 = vlm_config_from_hf_dict(d)
+    assert cfg2.decoder.norm_type == "layernorm"
+    assert cfg2.decoder.mlp_type == "gelu"
+    assert cfg2.decoder.pos_emb == "alibi"
+    assert cfg2.decoder.hidden_size == 32
+
+    sd = ckpt.load_state_dict(out)
+    assert any(k.startswith("transformer.blocks.") for k in sd)
+    params2 = ckpt.convert_vlm(sd, cfg, jnp.float32)
+    flat1 = jax.tree_util.tree_flatten_with_path(params)[0]
+    flat2 = jax.tree_util.tree_flatten_with_path(params2)[0]
+    assert [k for k, _ in flat1] == [k for k, _ in flat2]
+    for (k, a), (_, b) in zip(flat1, flat2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=str(k))
+
+    audit = ckpt.audit_key_map(sd, cfg)
+    assert audit["unused_keys"] == []

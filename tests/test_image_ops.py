@@ -60,3 +60,25 @@ def test_anyres_tiles_device():
         jnp.asarray(x, jnp.float32) / 255.0, 64, best_resolution=(128, 64))
     np.testing.assert_allclose(np.asarray(tiles), np.asarray(tiles_f),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_prepare_array_image_float_255_matches_uint8():
+    """np.asarray(pil_img, np.float32) gives [0,255] floats — the engine
+    must detect and rescale them identically to the uint8 path (review
+    finding: they previously clipped to an all-white image)."""
+    import numpy as np
+
+    from fastvlm_tpu.engine import build_engine
+
+    engine = build_engine(random_tiny=True)
+    s = engine.cfg.vision.image_size
+    rng = np.random.RandomState(0)
+    u8 = rng.randint(0, 256, (s, s, 3), np.uint8)
+    a = np.asarray(engine.prepare_array_image(u8))
+    b = np.asarray(engine.prepare_array_image(u8.astype(np.float32)))
+    np.testing.assert_allclose(a, b, atol=1e-2)
+    # non-native size goes through resize/pad on device, same contract
+    u8s = rng.randint(0, 256, (s // 2, s, 3), np.uint8)
+    c = np.asarray(engine.prepare_array_image(u8s))
+    d = np.asarray(engine.prepare_array_image(u8s.astype(np.float32)))
+    np.testing.assert_allclose(c, d, atol=1e-2)

@@ -104,3 +104,35 @@ def test_predict_cli_verify_mode(tmp_path):
         assert report["unused_keys"] == []
     finally:
         C.verify_checkpoint = orig
+
+
+def test_audit_train_mode_checkpoint(tmp_path):
+    """Train-mode (multi-branch) checkpoints must audit clean — the fusion
+    pre-pass runs BEFORE the recording wrapper, so fused reads are seen and
+    the original branch keys are accounted as consumed by fusion."""
+    from test_reparam import _conv_bn
+
+    cfg = _cfg()
+    params = vlm.init(jax.random.PRNGKey(5), cfg)
+    sd = dict(export_state_dict(params, cfg))
+    # swap one fused stem conv for its train-time multi-branch form
+    pfx = ckpt.VISION_PREFIX + "patch_embed.1."
+    del sd[pfx + "reparam_conv.weight"], sd[pfx + "reparam_conv.bias"]
+    c0 = cfg.vision.embed_dims[0]
+    _conv_bn(sd, pfx + "rbr_conv.0", c0, 1, 3)
+    _conv_bn(sd, pfx + "rbr_scale", c0, 1, 1)
+
+    audit = ckpt.audit_key_map(sd, cfg)
+    assert audit["fused_train_branches"]
+    assert audit["unused_keys"] == [], audit["unused_keys"][:5]
+
+
+def test_verify_checkpoint_missing_goldens_errors(tmp_path):
+    from fastvlm_tpu.utils.hf_export import export_hf
+    import pytest
+
+    cfg = _cfg()
+    params = vlm.init(jax.random.PRNGKey(6), cfg)
+    d = export_hf(params, cfg, str(tmp_path / "ckpt"))
+    with pytest.raises(FileNotFoundError):
+        ckpt.verify_checkpoint(d, str(tmp_path / "nope.npz"), cfg=cfg)
