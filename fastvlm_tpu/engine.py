@@ -310,6 +310,7 @@ class Engine:
         """
         cfg = self.cfg
         max_new = max_new_tokens or cfg.max_new_tokens
+        kw_ids = self._keyword_token_ids(stop_strings)
         inputs = self.prepare(prompt, image)
         ids, lens, starts = inputs["ids"], inputs["lens"], inputs["starts"]
         b, t = ids.shape
@@ -354,6 +355,17 @@ class Engine:
                     done_host = True
                     break
                 out_ids.append(tk)
+                # token-level keyword stop (reference
+                # KeywordsStoppingCriteria, mm_utils.py:218-250): the output
+                # tail matches a keyword's token ids exactly — catches stop
+                # sequences whose tokens decode to nothing (special tokens)
+                for kid in kw_ids:
+                    if len(out_ids) >= len(kid) and out_ids[-len(kid):] == kid:
+                        del out_ids[-len(kid):]
+                        done_host = True
+                        break
+                if done_host:
+                    break
             done_host = done_host or bool(_sync(done)[0])
             stats.decode_tokens = decode_tokens
             stats.decode_ms = (time.perf_counter() - t_dec) * 1000
@@ -375,6 +387,26 @@ class Engine:
         return self.generate(self.build_prompt(user_prompt), image, **kw)
 
     # ---------------- internals ----------------
+
+    def _keyword_token_ids(self, stop_strings) -> List[List[int]]:
+        """Tokenize stop keywords the reference way (mm_utils.py:219-230):
+        encode each keyword, drop a leading BOS; decode-time the output tail
+        is compared token-for-token."""
+        out: List[List[int]] = []
+        bos = getattr(self.tokenizer, "bos_token_id", None)
+        for s in stop_strings:
+            if not s:
+                continue
+            try:
+                enc = self.tokenizer(s)
+                ids = list(getattr(enc, "input_ids", enc))
+            except Exception:
+                continue
+            if len(ids) > 1 and bos is not None and ids[0] == bos:
+                ids = ids[1:]
+            if ids:
+                out.append([int(i) for i in ids])
+        return out
 
     def _decode_text(self, ids: List[int]) -> str:
         if not ids:

@@ -81,3 +81,27 @@ def test_decode_tokens_zero_when_first_token_is_eos():
     stats = last["stats"]
     assert stats["decode_tokens"] == 0 and stats["tok_per_s"] == 0.0, stats
     assert last["text"] == ""
+
+
+def test_token_level_keyword_stopping():
+    """Exact KeywordsStoppingCriteria parity (reference mm_utils.py:218-250):
+    the output tail is compared token-for-token against each keyword's ids
+    (leading BOS dropped), and generation stops with the keyword stripped."""
+    engine = build_engine(random_tiny=True)
+    kw = engine._keyword_token_ids(("ab", "", "xyz"))
+    enc = engine.tokenizer("ab").input_ids
+    assert kw[0] == [int(i) for i in enc]
+    assert len(kw) == 2  # empty string skipped
+
+    # find what the model actually emits, then stop on a tail of it
+    prompt = engine.build_prompt("write")
+    full, _ = engine.chat("write", max_new_tokens=12)
+    if len(full) >= 4:
+        stop = full[2:4]
+        last = None
+        for last in engine.stream(prompt, None, max_new_tokens=12,
+                                  stop_strings=(stop,)):
+            pass
+        assert stop not in last["text"] or last["text"].index(stop) > \
+            full.index(stop)  # stopped at (or before) the first occurrence
+        assert len(last["text"]) <= len(full)
