@@ -352,12 +352,19 @@ def forward(
     prefill: bool = True,
     prefill_offset=0,  # cache write offset (prefix-reuse continuation)
     remat: bool = False,  # rematerialize layers under grad (training memory)
+    seq_sharding=None,  # NamedSharding for (B, T, D) activations (training SP)
 ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     """Run the decoder stack over embeddings; returns (hidden, new_cache).
 
     With a cache: S = cache.max_len; prefill writes rows [0,T), decode writes
     at cache.lengths. Without a cache: plain causal self-attention over T
     (training path).
+
+    ``seq_sharding`` (no-cache path only) pins hidden states to e.g.
+    P(data, model, None) between layers — Megatron-style sequence
+    parallelism: GSPMD turns the tensor-parallel all-reduces into
+    reduce-scatter + all-gather pairs around the attention/MLP blocks, so
+    the norm/residual regions hold only T/tp tokens per chip.
     """
     x = inputs_embeds
     b, t, _ = x.shape
@@ -385,6 +392,8 @@ def forward(
 
     if cache is None:
         def body(carry, lp):
+            if seq_sharding is not None:
+                carry = jax.lax.with_sharding_constraint(carry, seq_sharding)
             h, _ = _layer(carry, lp, cfg, cos, sin, None, None, mask, None,
                           prefill, bias)
             return h, None

@@ -47,3 +47,12 @@ def data_sharding(mesh: Mesh) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def seq_sharding(mesh: Mesh) -> NamedSharding:
+    """(B, T, D) activation sharding for sequence-parallel training: batch
+    over "data", tokens over "model". Passed to train_step/qwen2.forward as
+    ``seq_sharding`` — GSPMD rewrites the TP all-reduces into
+    reduce-scatter/all-gather pairs so inter-block activations hold T/tp
+    tokens per chip (the Megatron-SP memory saving, XLA-native)."""
+    return NamedSharding(mesh, P(DATA_AXIS, MODEL_AXIS, None))

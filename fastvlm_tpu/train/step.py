@@ -47,9 +47,13 @@ def loss_fn(
     cfg: FastVLMConfig,
     batch: Dict[str, jnp.ndarray],
     remat: bool = True,
+    seq_sharding=None,
 ) -> jnp.ndarray:
     """batch: images (B,H,W,3) | None, ids (B,T), labels (B,T),
-    image_starts (B,), attn_lens (B,)."""
+    image_starts (B,), attn_lens (B,).
+
+    seq_sharding: optional NamedSharding for (B, T, D) hidden states —
+    sequence-parallel training (see qwen2.forward)."""
     embeds = vlm._spliced_prompt_embeds(
         params, cfg, batch.get("images"), batch["ids"], batch["image_starts"])
     b, t, _ = embeds.shape
@@ -59,7 +63,7 @@ def loss_fn(
                               window=cfg.decoder.attn_window)
     hidden, _ = qwen2.forward(
         params["decoder"], cfg.decoder, embeds, positions, mask=mask,
-        remat=remat)
+        remat=remat, seq_sharding=seq_sharding)
     logits = qwen2.logits_from_hidden(params["decoder"], hidden, cfg.decoder)
     # next-token prediction: logits[t] predicts labels[t+1]
     return cross_entropy(logits[:, :-1], batch["labels"][:, 1:])
@@ -126,14 +130,17 @@ def make_train_state(params: Any, tx: optax.GradientTransformation) -> TrainStat
     return TrainState(params=params, opt_state=tx.init(params), step=jnp.int32(0))
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "tx"), donate_argnums=(0,))
+@functools.partial(jax.jit, static_argnames=("cfg", "tx", "seq_sharding"),
+                   donate_argnums=(0,))
 def train_step(
     state: TrainState,
     cfg: FastVLMConfig,
     tx: optax.GradientTransformation,
     batch: Dict[str, jnp.ndarray],
+    seq_sharding=None,
 ) -> Tuple[TrainState, jnp.ndarray]:
-    loss, grads = jax.value_and_grad(loss_fn)(state.params, cfg, batch)
+    loss, grads = jax.value_and_grad(loss_fn)(
+        state.params, cfg, batch, seq_sharding=seq_sharding)
     updates, opt_state = tx.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
     return TrainState(params, opt_state, state.step + 1), loss

@@ -255,3 +255,48 @@ def test_optimizer_handles_image_newline_param():
     mesh = make_mesh(dp=2, tp=4)
     sharded = sharding.shard_vlm(params, cfg, mesh)  # specs must cover it
     assert "image_newline" in sharded
+
+
+def test_train_step_sequence_parallel_matches_unsharded():
+    """Sequence-parallel activations (T over the model axis) must produce
+    the SAME parameters after one step as the plain single-device step —
+    SP only changes the collective layout, never the math."""
+    from fastvlm_tpu.parallel.mesh import seq_sharding
+
+    cfg = tiny_cfg(vocab=64)
+    params0 = vlm.init(jax.random.PRNGKey(0), cfg)
+    ids, lens, starts = _batch(cfg, 2)
+    ids = ids % 64
+    labels = np.where(np.arange(ids.shape[1])[None] < lens[:, None], ids, -100)
+    images = jax.random.uniform(jax.random.PRNGKey(1), (2, 128, 128, 3))
+
+    def run(sharded: bool):
+        params = jax.tree.map(jnp.copy, params0)
+        batch = {
+            "ids": jnp.asarray(ids),
+            "labels": jnp.asarray(labels),
+            "image_starts": jnp.asarray(starts),
+            "attn_lens": jnp.asarray(lens),
+        }
+        tx = train_step_mod.make_optimizer(lr=1e-3)
+        if sharded:
+            mesh = make_mesh(dp=2, tp=4)
+            params = sharding.shard_vlm(params, cfg, mesh)
+            batch["images"] = jax.device_put(images, data_sharding(mesh))
+            sp = seq_sharding(mesh)
+        else:
+            batch["images"] = images
+            sp = None
+        state = train_step_mod.make_train_state(params, tx)
+        state, loss = train_step_mod.train_step(state, cfg, tx, batch,
+                                                seq_sharding=sp)
+        return jax.device_get(state.params), float(loss)
+
+    p_ref, l_ref = run(False)
+    p_sp, l_sp = run(True)
+    assert abs(l_ref - l_sp) < 1e-5, (l_ref, l_sp)
+    for (k, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(p_ref)[0],
+            jax.tree_util.tree_flatten_with_path(p_sp)[0]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, err_msg=str(k))
