@@ -74,8 +74,9 @@ def make_model(size: str, image_size: int, dtype: str,
 
             qabstract = dict(abstract)
             qabstract["decoder"] = jax.eval_shape(
-                lambda p: quantize_decoder(p, quantize_bits,
-                                           act_quant=act_quant),
+                lambda p: quantize_decoder(
+                    qwen2.fuse_decoder_params(p, decoder) if fuse else p,
+                    quantize_bits, act_quant=act_quant),
                 abstract["decoder"])
             params = jax.tree.map(materialize, qabstract)
         params = jax.device_put(params, jax.devices()[0])
@@ -272,6 +273,11 @@ CONFIGS = {
     "ocr-1536": dict(size="0.5b", image_size=1536, batch=1, mode="ttft"),
     "video-qa": dict(size="0.5b", image_size=1024, batch=1, mode="video"),
     "decode": dict(size="0.5b", image_size=1024, batch=1, mode="decode"),
+    # decode is weight-bandwidth bound: int8 weights halve the bytes/step
+    "decode-int8": dict(size="0.5b", image_size=1024, batch=1, mode="decode",
+                        quantize_bits=8),
+    "decode-w8a8": dict(size="0.5b", image_size=1024, batch=1, mode="decode",
+                        quantize_bits=8, act_quant=True),
     # long-context serving decode: dense XLA vs Pallas kernels vs paged pool
     "decode-paged": dict(size="0.5b", image_size=1024, batch=8,
                          mode="decode_ctx"),

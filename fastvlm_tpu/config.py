@@ -141,6 +141,11 @@ class Qwen2Config:
     # paged caches). Pallas targets long-context serving; it falls back to
     # XLA for ALiBi / sliding-window decoders (bias/window unsupported).
     attn_backend: str = "xla"
+    # layer-scan unroll factor for the cached (decode/prefill) path.
+    # Experimental layout knob: measured results per platform in
+    # docs/PERF.md (on the current chip it does NOT fix the int8-decode
+    # pessimization — keep 1).
+    scan_unroll: int = 1
 
     @property
     def q_dim(self) -> int:

@@ -416,7 +416,8 @@ def forward(
             return h, (nk, nv)
 
         x, (nk, nv) = lax.scan(
-            body, x, (params["layers"], cache.k_pages, cache.v_pages))
+            body, x, (params["layers"], cache.k_pages, cache.v_pages),
+            unroll=cfg.scan_unroll)
         new_lengths = (lengths + t) if prefill else (lengths + 1)
         new_cache = PagedKVCache(k_pages=nk, v_pages=nv,
                                  block_tables=tables, lengths=new_lengths)
@@ -427,7 +428,8 @@ def forward(
                                  lengths, prefill, bias, prefill_offset)
             return h, (nk, nv)
 
-        x, (nk, nv) = lax.scan(body, x, (params["layers"], cache.k, cache.v))
+        x, (nk, nv) = lax.scan(body, x, (params["layers"], cache.k, cache.v),
+                               unroll=cfg.scan_unroll)
         new_lengths = (lengths + t) if prefill else (lengths + 1)
         # prefill rows may be padded; caller overrides lengths afterwards if so
         new_cache = KVCache(k=nk, v=nv, lengths=new_lengths)
