@@ -130,6 +130,58 @@ def make_train_state(params: Any, tx: optax.GradientTransformation) -> TrainStat
     return TrainState(params=params, opt_state=tx.init(params), step=jnp.int32(0))
 
 
+def loss_fn_pp(
+    params: Any,
+    cfg: FastVLMConfig,
+    batch: Dict[str, jnp.ndarray],
+    mesh,
+    n_micro: int,
+) -> jnp.ndarray:
+    """Pipeline-parallel loss: decoder layers staged over the mesh's model
+    axis (parallel/pipeline.py GPipe schedule); vision/projector/embedding
+    stay replicated. Mathematically identical to loss_fn — only the
+    collective layout differs."""
+    from fastvlm_tpu.parallel import pipeline as pp
+
+    embeds = vlm._spliced_prompt_embeds(
+        params, cfg, batch.get("images"), batch["ids"], batch["image_starts"])
+    b, t, d = embeds.shape
+    assert b % n_micro == 0, f"batch {b} not divisible by {n_micro} microbatches"
+    positions = jnp.arange(t, dtype=jnp.int32)[None].repeat(b, 0)
+    mask = qwen2.prefill_mask(batch["attn_lens"], t, t,
+                              window=cfg.decoder.attn_window)
+    hidden = pp.forward_pipelined(
+        params["decoder"], cfg.decoder,
+        embeds.reshape(n_micro, -1, t, d),
+        positions.reshape(n_micro, -1, t),
+        mask.reshape(n_micro, -1, t, t), mesh)
+    hidden = hidden.reshape(b, t, d)
+    logits = qwen2.logits_from_hidden(params["decoder"], hidden, cfg.decoder)
+    return cross_entropy(logits[:, :-1], batch["labels"][:, 1:])
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "tx", "mesh", "n_micro"),
+                   donate_argnums=(0,))
+def train_step_pp(
+    state: TrainState,
+    cfg: FastVLMConfig,
+    tx: optax.GradientTransformation,
+    batch: Dict[str, jnp.ndarray],
+    mesh,
+    n_micro: int = 2,
+) -> Tuple[TrainState, jnp.ndarray]:
+    """One SGD step with the decoder pipelined over the model mesh axis.
+    Layer params/grads/optimizer moments all live stage-local (L axis
+    sharded) — use parallel.pipeline.shard_decoder_pipeline on the decoder
+    tree before make_train_state."""
+    loss, grads = jax.value_and_grad(loss_fn_pp)(
+        state.params, cfg, batch, mesh, n_micro)
+    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    return TrainState(params, opt_state, state.step + 1), loss
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "tx", "seq_sharding"),
                    donate_argnums=(0,))
 def train_step(

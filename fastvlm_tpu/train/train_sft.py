@@ -50,6 +50,13 @@ def main(argv=None):
     parser.add_argument("--lora-alpha", type=float, default=16.0)
     # parallelism
     parser.add_argument("--tp", type=int, default=1)
+    parser.add_argument("--sp", action="store_true",
+                        help="sequence-parallel activations (T over the "
+                             "model axis; requires --tp > 1)")
+    parser.add_argument("--pp-micro", type=int, default=None,
+                        help="pipeline-parallel decoder: stage layers over "
+                             "the model axis (--tp = stages) and stream N "
+                             "microbatches (GPipe)")
     parser.add_argument("--zero1", action="store_true",
                         help="shard optimizer state over the data axis")
     parser.add_argument("--fsdp", action="store_true",
@@ -110,7 +117,26 @@ def main(argv=None):
     mesh = None
     if args.tp > 1 or len(jax.devices()) > 1:
         mesh = make_mesh(tp=args.tp)
-        if args.fsdp:
+        if args.pp_micro:
+            # pipeline layout: decoder layers staged on the model axis,
+            # everything else replicated (parallel/pipeline.py)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from fastvlm_tpu.parallel.pipeline import shard_decoder_pipeline
+
+            if cfg.decoder.num_layers % args.tp:
+                parser.error(f"--pp-micro needs num_layers "
+                             f"({cfg.decoder.num_layers}) divisible by "
+                             f"--tp ({args.tp}) stages")
+            params = dict(params)
+            params["decoder"] = shard_decoder_pipeline(params["decoder"],
+                                                       mesh)
+            rep = NamedSharding(mesh, P())
+            for k in list(params):
+                if k != "decoder":
+                    params[k] = jax.tree.map(
+                        lambda x: jax.device_put(x, rep), params[k])
+        elif args.fsdp:
             params = sharding.shard_vlm_fsdp(params, mesh)
         else:
             params = sharding.shard_vlm(params, cfg, mesh)
@@ -145,7 +171,8 @@ def main(argv=None):
         lora_alpha=args.lora_alpha,
         zero1=args.zero1,
     )
-    trainer = Trainer(cfg, params, dataset, train_args, mesh=mesh)
+    trainer = Trainer(cfg, params, dataset, train_args, mesh=mesh,
+                      pp_micro=args.pp_micro, seq_parallel=args.sp)
     result = trainer.train()
     print(result)
     return 0

@@ -70,11 +70,19 @@ def batches(dataset: SupervisedDataset, sampler: LengthGroupedSampler,
 class Trainer:
     def __init__(self, cfg: FastVLMConfig, params: Any,
                  dataset: SupervisedDataset, args: TrainingArguments,
-                 mesh=None):
+                 mesh=None, pp_micro=None, seq_parallel=False):
         self.cfg = cfg
         self.args = args
         self.dataset = dataset
         self.mesh = mesh
+        # parallel schedule: pipeline microbatches (decoder staged over the
+        # model axis) or sequence-parallel activations; default plain dp/tp
+        self.pp_micro = pp_micro
+        self._seq_sharding = None
+        if seq_parallel and mesh is not None:
+            from fastvlm_tpu.parallel.mesh import seq_sharding
+
+            self._seq_sharding = seq_sharding(mesh)
 
         steps_per_epoch = len(dataset) // args.batch_size
         total = args.max_steps or max(steps_per_epoch * args.num_epochs, 1)
@@ -236,8 +244,14 @@ class Trainer:
                 if step >= self.total_steps:
                     break
                 jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
-                self.state, loss = step_mod.train_step(
-                    self.state, self.cfg, self.tx, jbatch)
+                if self.pp_micro:
+                    self.state, loss = step_mod.train_step_pp(
+                        self.state, self.cfg, self.tx, jbatch, self.mesh,
+                        self.pp_micro)
+                else:
+                    self.state, loss = step_mod.train_step(
+                        self.state, self.cfg, self.tx, jbatch,
+                        seq_sharding=self._seq_sharding)
                 step += 1
                 if step % args.log_steps == 0 or step == self.total_steps:
                     last_loss = float(np.asarray(loss))

@@ -90,3 +90,92 @@ def test_stage_specs_shard_only_layers():
     assert specs["embed"] == P()
     assert specs["layers"]["q"]["w"] == P("model")
     assert specs["final_norm"] == P()
+
+
+def test_pipelined_train_step_matches_plain():
+    """One full pipelined SGD step (decoder staged over the model axis) must
+    produce the same params and loss as the plain train step."""
+    from fastvlm_tpu.config import (
+        FastViTConfig, FastVLMConfig, ProjectorConfig)
+    from fastvlm_tpu.models import vlm
+    from fastvlm_tpu.ops.splice import expand_image_ids, pad_batch
+    from fastvlm_tpu.parallel.mesh import data_sharding
+    from fastvlm_tpu.parallel.pipeline import shard_decoder_pipeline
+    from fastvlm_tpu.train import step as ts
+
+    vision = FastViTConfig(layers=(1, 1, 1, 1, 1),
+                           embed_dims=(8, 16, 32, 64, 128),
+                           image_size=128, attn_head_dim=16)
+    cfg = FastVLMConfig(
+        vision=vision, decoder=CFG,
+        projector=ProjectorConfig(mm_hidden_size=vision.out_channels,
+                                  hidden_size=CFG.hidden_size))
+    mesh = make_mesh(dp=2, tp=4)  # 4 stages for the 4-layer decoder
+    params0 = vlm.init(jax.random.PRNGKey(0), cfg)
+
+    rows, starts_l = [], []
+    for i in range(4):
+        row, s = expand_image_ids([5, 7 + i, -200, 9], cfg.num_image_tokens)
+        rows.append(row)
+        starts_l.append(s)
+    ids, lens, starts = pad_batch(rows, starts_l, 16)
+    ids = ids % CFG.vocab_size
+    labels = np.where(np.arange(ids.shape[1])[None] < lens[:, None], ids,
+                      -100)
+    images = jax.random.uniform(jax.random.PRNGKey(1), (4, 128, 128, 3))
+
+    def batch_of(imgs):
+        return {"images": imgs, "ids": jnp.asarray(ids),
+                "labels": jnp.asarray(labels),
+                "image_starts": jnp.asarray(starts),
+                "attn_lens": jnp.asarray(lens)}
+
+    tx = ts.make_optimizer(lr=1e-3)
+    state = ts.make_train_state(jax.tree.map(jnp.copy, params0), tx)
+    state, loss_ref = ts.train_step(state, cfg, tx, batch_of(images))
+    p_ref = jax.device_get(state.params)
+
+    pparams = dict(jax.tree.map(jnp.copy, params0))
+    pparams["decoder"] = shard_decoder_pipeline(pparams["decoder"], mesh)
+    state_pp = ts.make_train_state(pparams, tx)
+    state_pp, loss_pp = ts.train_step_pp(
+        state_pp, cfg, tx, batch_of(jax.device_put(images,
+                                                   data_sharding(mesh))),
+        mesh, n_micro=2)
+    p_pp = jax.device_get(state_pp.params)
+
+    assert abs(float(loss_ref) - float(loss_pp)) < 1e-5
+    for (k, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(p_ref)[0],
+            jax.tree_util.tree_flatten_with_path(p_pp)[0]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, err_msg=str(k))
+
+
+def test_train_sft_cli_pp_and_sp(tmp_path):
+    """The train CLI runs a few steps with --pp-micro (pipelined decoder)
+    and with --sp (sequence-parallel) on the virtual mesh."""
+    import json as _json
+
+    from PIL import Image
+
+    from fastvlm_tpu.train import train_sft
+
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    Image.new("RGB", (64, 64), (10, 200, 30)).save(img_dir / "x.jpg")
+    data = [{"id": str(i), "image": "x.jpg", "conversations": [
+        {"from": "human", "value": "<image>\nDescribe."},
+        {"from": "gpt", "value": "green"}]} for i in range(8)]
+    (tmp_path / "d.json").write_text(_json.dumps(data))
+
+    common = ["--random-tiny", "--data-path", str(tmp_path / "d.json"),
+              "--image-folder", str(img_dir),
+              "--batch-size", "4", "--max-steps", "2", "--log-steps", "1",
+              "--save-steps", "0"]
+    rc = train_sft.main(common + ["--output-dir", str(tmp_path / "pp"),
+                                  "--tp", "2", "--pp-micro", "2"])
+    assert rc == 0
+    rc = train_sft.main(common + ["--output-dir", str(tmp_path / "sp"),
+                                  "--tp", "2", "--sp"])
+    assert rc == 0
