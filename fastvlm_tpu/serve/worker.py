@@ -45,6 +45,8 @@ class ModelWorker:
         controller_addr: Optional[str] = None,
         limit_concurrency: int = 5,
         continuous_batching: bool = False,
+        page_size: int = 64,
+        pool_tokens: int = 16384,
     ):
         self.engine = engine
         self.model_name = model_name
@@ -61,7 +63,8 @@ class ModelWorker:
         if continuous_batching and engine is not None:
             from fastvlm_tpu.serve.batcher import BatchScheduler
 
-            self.scheduler = BatchScheduler(engine)
+            self.scheduler = BatchScheduler(engine, page_size=page_size,
+                                            pool_tokens=pool_tokens)
 
     # ---------------- status / heartbeat ----------------
 
@@ -333,6 +336,10 @@ def main(argv=None):
     parser.add_argument("--model-name", default=None)
     parser.add_argument("--random-weights", action="store_true")
     parser.add_argument("--limit-model-concurrency", type=int, default=5)
+    parser.add_argument("--kv-page-size", type=int, default=64,
+                        help="paged-KV page size (tokens) for the batcher")
+    parser.add_argument("--kv-pool-tokens", type=int, default=16384,
+                        help="paged-KV pool capacity in tokens (HBM bound)")
     parser.add_argument("--continuous-batching", action="store_true",
                         help="batch concurrent requests into one decode loop")
     parser.add_argument("--dtype", default="bfloat16")
@@ -349,7 +356,9 @@ def main(argv=None):
     worker = ModelWorker(engine, name, worker_addr=addr,
                          controller_addr=args.controller_address,
                          limit_concurrency=args.limit_model_concurrency,
-                         continuous_batching=args.continuous_batching)
+                         continuous_batching=args.continuous_batching,
+                         page_size=args.kv_page_size,
+                         pool_tokens=args.kv_pool_tokens)
     web.run_app(build_app(worker), host=args.host, port=args.port)
 
 
