@@ -94,7 +94,7 @@ def sync(x):
     return np.asarray(x)
 
 
-def bench_ttft(cfg, params, batch: int, iters: int, warmup: int = 3):
+def bench_ttft(cfg, params, batch: int, iters: int, warmup: int = 8):
     import jax
     import jax.numpy as jnp
 
@@ -289,7 +289,7 @@ def main(argv=None) -> int:
     p.add_argument("--size", default="0.5b", choices=["0.5b", "1.5b", "7b"])
     p.add_argument("--image-size", type=int, default=1024)
     p.add_argument("--batch", type=int, default=1)
-    p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--iters", type=int, default=40)
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--config", default=None, choices=list(CONFIGS),
                    help="named BASELINE config (overrides size/image/batch)")
