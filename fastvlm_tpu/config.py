@@ -294,9 +294,10 @@ def mpt_decoder_from_hf_dict(d: Dict[str, Any], **overrides) -> Qwen2Config:
         num_heads=heads,
         num_kv_heads=heads,
         head_dim=dm // heads,
-        intermediate_size=int(d.get("expansion_ratio", 4) * dm),
+        intermediate_size=int(round(d.get("expansion_ratio", 4) * dm)),
         rms_eps=d.get("layer_norm_epsilon", 1e-5),
-        tie_word_embeddings=d.get("tie_word_embeddings", False),
+        # HF PretrainedConfig defaults tie_word_embeddings=True
+        tie_word_embeddings=d.get("tie_word_embeddings", True),
         qkv_bias=not d.get("no_bias", True),
         pos_emb="alibi", norm_type="layernorm", mlp_type="gelu",
     )

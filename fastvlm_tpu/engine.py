@@ -334,6 +334,14 @@ class Engine:
 
         out_ids: List[int] = [] if first in self.eos_ids else [first]
         done_host = first in self.eos_ids
+        # single-token stop keyword emitted as the very first token
+        # (reference KeywordsStoppingCriteria checks from the first
+        # generated token)
+        for kid in kw_ids:
+            if out_ids and len(out_ids) >= len(kid) \
+                    and out_ids[-len(kid):] == kid:
+                del out_ids[-len(kid):]
+                done_host = True
         done = jnp.asarray([done_host])
         text = self._decode_text(out_ids)
         yield {"text": text, "stats": stats.as_dict()}

@@ -181,6 +181,25 @@ def alibi_slopes(num_heads: int) -> jnp.ndarray:
     return jnp.asarray(pow2_slopes(closest) + extra, jnp.float32)
 
 
+def pos_terms(cfg: Qwen2Config, positions, mask):
+    """Shared positional preamble: (cos, sin, alibi_bias, (B,1,T,S) mask).
+
+    One definition for the plain forward and the pipelined path
+    (parallel/pipeline.py) so rope/ALiBi math can't drift between them."""
+    cos = sin = None
+    if cfg.pos_emb == "rope":
+        cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+    bias = None
+    if cfg.pos_emb == "alibi":
+        # additive -slope * (q_pos - k_pos) bias (MPT-style decoders)
+        s = mask.shape[-1]
+        k_pos = jnp.arange(s, dtype=jnp.int32)[None, None, :]
+        dist = (positions[:, :, None] - k_pos).astype(jnp.float32)  # (B,T,S)
+        slopes = alibi_slopes(cfg.num_heads)
+        bias = -slopes[None, :, None, None] * dist[:, None]
+    return cos, sin, bias, mask[:, None]
+
+
 def _attend(q, k, v, mask, bias=None):
     """q: (B,T,Hq,D); k,v: (B,S,Hkv,D); mask: (B,1,T,S) bool;
     bias: optional (B,Hq,T,S) additive (ALiBi) -> (B,T,Hq,D)."""
@@ -368,25 +387,11 @@ def forward(
     """
     x = inputs_embeds
     b, t, _ = x.shape
-    cos = sin = None
-    if cfg.pos_emb == "rope":
-        cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
-
     if mask is None:
         # plain causal (no cache / full self-attention)
         causal = jnp.tril(jnp.ones((t, t), bool))
         mask = jnp.broadcast_to(causal, (b, t, t))
-
-    bias = None
-    if cfg.pos_emb == "alibi":
-        # additive -slope * (q_pos - k_pos) bias (MPT-style decoders)
-        s = mask.shape[-1]
-        k_pos = jnp.arange(s, dtype=jnp.int32)[None, None, :]
-        dist = (positions[:, :, None] - k_pos).astype(jnp.float32)  # (B,T,S)
-        slopes = alibi_slopes(cfg.num_heads)
-        bias = -slopes[None, :, None, None] * dist[:, None]
-
-    mask = mask[:, None]  # (B, 1, T, S)
+    cos, sin, bias, mask = pos_terms(cfg, positions, mask)
 
     lengths = cache.lengths if cache is not None else None
 

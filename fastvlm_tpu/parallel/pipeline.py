@@ -39,7 +39,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from fastvlm_tpu.config import Qwen2Config
 from fastvlm_tpu.models import qwen2
-from fastvlm_tpu.parallel.mesh import MODEL_AXIS
+from fastvlm_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
 
 def stage_specs(params: Dict[str, Any]) -> Dict[str, Any]:
@@ -66,31 +66,27 @@ def forward_pipelined(
     positions: jnp.ndarray,  # (M, b, T)
     mask: jnp.ndarray,       # (M, b, T, T) bool
     mesh: Mesh,
+    remat: bool = True,
 ) -> jnp.ndarray:
     """GPipe forward over the mesh's "model" axis; returns (M, b, T, D)
     final hidden states (post final-norm). Embedding lookup / logits stay
-    outside (replicated, same as the unpipelined path).
+    outside (replicated, same as the unpipelined path). The microbatch
+    batch dim b is sharded over the "data" axis — dp composes with pp.
 
-    Requires cfg.num_layers % n_stages == 0; the caller picks M (more
-    microbatches -> smaller bubble)."""
+    Requires cfg.num_layers % n_stages == 0 and b % dp == 0; the caller
+    picks M (more microbatches -> smaller bubble). remat rematerializes
+    each stage in backward (mirrors loss_fn's default)."""
     n_stages = mesh.shape[MODEL_AXIS]
+    dp = mesh.shape[DATA_AXIS]
     assert cfg.num_layers % n_stages == 0, (
         f"{cfg.num_layers} layers not divisible by {n_stages} stages")
+    assert embeds.shape[1] % dp == 0, (
+        f"microbatch size {embeds.shape[1]} not divisible by dp={dp}")
     m = embeds.shape[0]
 
     def stage_apply(layers_local, x, pos, msk):
         """Run this device's L/S layers over one microbatch (no cache)."""
-        cos = sin = None
-        if cfg.pos_emb == "rope":
-            cos, sin = qwen2.rope_cos_sin(pos, cfg.head_dim, cfg.rope_theta)
-        bias = None
-        if cfg.pos_emb == "alibi":
-            s = msk.shape[-1]
-            k_pos = jnp.arange(s, dtype=jnp.int32)[None, None, :]
-            dist = (pos[:, :, None] - k_pos).astype(jnp.float32)
-            slopes = qwen2.alibi_slopes(cfg.num_heads)
-            bias = -slopes[None, :, None, None] * dist[:, None]
-        msk4 = msk[:, None]
+        cos, sin, bias, msk4 = qwen2.pos_terms(cfg, pos, msk)
 
         def body(carry, lp):
             h, _ = qwen2._layer(carry, lp, cfg, cos, sin, None, None, msk4,
@@ -99,6 +95,11 @@ def forward_pipelined(
 
         x, _ = lax.scan(body, x, layers_local)
         return x
+
+    if remat:
+        # recompute each stage in backward: the pipelined counterpart of
+        # loss_fn's layer remat (train memory ~ one stage's activations)
+        stage_apply = jax.checkpoint(stage_apply)
 
     def pp(layers_local, emb, pos, msk):
         # shard_map gives each device its (L/S, ...) stage and the FULL
@@ -134,11 +135,12 @@ def forward_pipelined(
     kw = {}
     if "check_rep" in inspect.signature(shard_map).parameters:
         kw["check_rep"] = False  # legacy experimental API
+    data = P(None, DATA_AXIS)  # (M, b, ...): microbatch rows over dp
     hidden = shard_map(
         pp, mesh=mesh,
         in_specs=(jax.tree.map(lambda _: P(MODEL_AXIS), params["layers"]),
-                  P(), P(), P()),
-        out_specs=P(),
+                  data, data, data),
+        out_specs=data,
         **kw,
     )(params["layers"], embeds, positions, mask)
 

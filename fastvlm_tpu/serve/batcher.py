@@ -309,48 +309,52 @@ class BatchScheduler:
             cache = init_cache(cfg.decoder.num_layers, b, pad_to + max_new,
                                cfg.decoder.num_kv_heads, cfg.decoder.head_dim,
                                engine._dtype)
-        t0 = time.perf_counter()
-        logits, cache = engine._prefill_jit(
-            engine.params, jnp.asarray(np.stack(imgs), engine._dtype),
-            jnp.asarray(ids), jnp.asarray(lens), jnp.asarray(starts), cache)
-        sampling = batch[0].sampling
-        key = jax.random.PRNGKey(time.time_ns() % 2**31)
-        key, sub = jax.random.split(key)
-        tok = sample(sub, logits, sampling)
-        ttft_ms = (time.perf_counter() - t0) * 1000
-
-        host_tok = np.asarray(tok)
-        texts: List[List[int]] = [[] for _ in range(b)]
-        finished = [i >= n_real for i in range(b)]
-        caps = [batch[i].max_new_tokens if i < n_real else 0
-                for i in range(b)]
-        emitted = [1] * b
-
-        def push_updates():
-            for i, r in enumerate(batch):
-                text = engine.tokenizer.decode(
-                    texts[i], skip_special_tokens=True)
-                for ss in r.stop_strings:
-                    if ss and ss in text:
-                        text = text.split(ss)[0]
-                        finished[i] = True
-                r.out.put({"text": text,
-                           "stats": {"ttft_ms": round(ttft_ms, 2),
-                                     "decode_tokens": len(texts[i]),
-                                     "batch_size": n_real}})
-
-        for i in range(b):
-            t = int(host_tok[i])
-            if i < n_real and t not in engine.eos_ids:
-                texts[i].append(t)
-            elif i < n_real:
-                finished[i] = True
-        push_updates()
-
-        done = jnp.asarray([finished[i] or caps[i] <= 1 for i in range(b)])
-        chunk_idx = 0
         batch_ok = False
         try:
+            # everything from the prefill dispatch onward runs under
+            # the try: a PREFILL failure must also release the pages
+            # and drop the possibly-donated pool arrays (review r2)
+            t0 = time.perf_counter()
+            logits, cache = engine._prefill_jit(
+                engine.params, jnp.asarray(np.stack(imgs), engine._dtype),
+                jnp.asarray(ids), jnp.asarray(lens), jnp.asarray(starts), cache)
+            sampling = batch[0].sampling
+            key = jax.random.PRNGKey(time.time_ns() % 2**31)
+            key, sub = jax.random.split(key)
+            tok = sample(sub, logits, sampling)
+            ttft_ms = (time.perf_counter() - t0) * 1000
+
+            host_tok = np.asarray(tok)
+            texts: List[List[int]] = [[] for _ in range(b)]
+            finished = [i >= n_real for i in range(b)]
+            caps = [batch[i].max_new_tokens if i < n_real else 0
+                    for i in range(b)]
+            emitted = [1] * b
+
+            def push_updates():
+                for i, r in enumerate(batch):
+                    text = engine.tokenizer.decode(
+                        texts[i], skip_special_tokens=True)
+                    for ss in r.stop_strings:
+                        if ss and ss in text:
+                            text = text.split(ss)[0]
+                            finished[i] = True
+                    r.out.put({"text": text,
+                               "stats": {"ttft_ms": round(ttft_ms, 2),
+                                         "decode_tokens": len(texts[i]),
+                                         "batch_size": n_real}})
+
+            for i in range(b):
+                t = int(host_tok[i])
+                if i < n_real and t not in engine.eos_ids:
+                    texts[i].append(t)
+                elif i < n_real:
+                    finished[i] = True
+            push_updates()
+
+            done = jnp.asarray(
+                [finished[i] or caps[i] <= 1 for i in range(b)])
+            chunk_idx = 0
             while not all(finished) and max(
                     emitted[i] for i in range(n_real) if not finished[i]) < max_new:
                 k = min(engine.chunk, max_new)

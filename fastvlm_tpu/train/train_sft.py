@@ -114,6 +114,8 @@ def main(argv=None):
                                dtype=resolve_dtype(args.dtype))
         tokenizer = AutoTokenizer.from_pretrained(args.model_path)
 
+    if args.pp_micro and args.tp <= 1:
+        parser.error("--pp-micro needs --tp > 1 (stages on the model axis)")
     mesh = None
     if args.tp > 1 or len(jax.devices()) > 1:
         mesh = make_mesh(tp=args.tp)
@@ -128,6 +130,14 @@ def main(argv=None):
                 parser.error(f"--pp-micro needs num_layers "
                              f"({cfg.decoder.num_layers}) divisible by "
                              f"--tp ({args.tp}) stages")
+            from fastvlm_tpu.parallel.mesh import DATA_AXIS
+
+            dp = mesh.shape[DATA_AXIS]
+            if args.batch_size % args.pp_micro or \
+                    (args.batch_size // args.pp_micro) % dp:
+                parser.error(
+                    f"--pp-micro: batch {args.batch_size} must split into "
+                    f"{args.pp_micro} microbatches divisible by dp={dp}")
             params = dict(params)
             params["decoder"] = shard_decoder_pipeline(params["decoder"],
                                                        mesh)

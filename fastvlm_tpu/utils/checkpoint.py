@@ -274,15 +274,21 @@ def convert_decoder_mpt(sd: StateDict, cfg: Qwen2Config, dtype=jnp.float32,
     for i in range(cfg.num_layers):
         base = g(f"transformer.blocks.{i}.")
         wqkv = np.asarray(sd[base + "attn.Wqkv.weight"], np.float32)
+        q = {"w": jnp.asarray(wqkv[:qd].T, dtype)}
+        k = {"w": jnp.asarray(wqkv[qd:qd + kvd].T, dtype)}
+        v = {"w": jnp.asarray(wqkv[qd + kvd:].T, dtype)}
+        if base + "attn.Wqkv.bias" in sd:  # no_bias=False checkpoints
+            bqkv = np.asarray(sd[base + "attn.Wqkv.bias"], np.float32)
+            q["b"] = jnp.asarray(bqkv[:qd], dtype)
+            k["b"] = jnp.asarray(bqkv[qd:qd + kvd], dtype)
+            v["b"] = jnp.asarray(bqkv[qd + kvd:], dtype)
         layers.append({
             "ln1": _vec(sd, base + "norm_1.weight", dtype),
-            "q": {"w": jnp.asarray(wqkv[:qd].T, dtype)},
-            "k": {"w": jnp.asarray(wqkv[qd:qd + kvd].T, dtype)},
-            "v": {"w": jnp.asarray(wqkv[qd + kvd:].T, dtype)},
-            "o": _linear(sd, base + "attn.out_proj", dtype, bias=False),
+            "q": q, "k": k, "v": v,
+            "o": _linear(sd, base + "attn.out_proj", dtype),
             "ln2": _vec(sd, base + "norm_2.weight", dtype),
-            "up": _linear(sd, base + "ffn.up_proj", dtype, bias=False),
-            "down": _linear(sd, base + "ffn.down_proj", dtype, bias=False),
+            "up": _linear(sd, base + "ffn.up_proj", dtype),
+            "down": _linear(sd, base + "ffn.down_proj", dtype),
         })
     params = {
         "embed": jnp.asarray(
@@ -290,7 +296,12 @@ def convert_decoder_mpt(sd: StateDict, cfg: Qwen2Config, dtype=jnp.float32,
         "layers": jax.tree.map(lambda *xs: jnp.stack(xs), *layers),
         "final_norm": _vec(sd, g("transformer.norm_f.weight"), dtype),
     }
-    if not cfg.tie_word_embeddings and g("lm_head.weight") in sd:
+    if not cfg.tie_word_embeddings:
+        if g("lm_head.weight") not in sd:
+            raise KeyError(
+                "MPT config says untied embeddings but the checkpoint has no "
+                "lm_head.weight — set tie_word_embeddings=true in config.json "
+                "(vanilla MPT ties wte as the output head)")
         # LlavaMptForCausalLM carries a separate lm_head (llava_mpt.py:47)
         params["lm_head"] = _linear(sd, g("lm_head"), dtype, bias=False)
     return params

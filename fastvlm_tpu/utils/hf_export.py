@@ -190,6 +190,10 @@ def export_decoder_mpt(params: Dict[str, Any], cfg, sd: Dict[str, Array],
         sd[base + "attn.Wqkv.weight"] = np.concatenate(
             [_np32(lp["q"]["w"]).T, _np32(lp["k"]["w"]).T,
              _np32(lp["v"]["w"]).T], axis=0)
+        if "b" in lp["q"]:  # no_bias=False family
+            sd[base + "attn.Wqkv.bias"] = np.concatenate(
+                [_np32(lp["q"]["b"]), _np32(lp["k"]["b"]),
+                 _np32(lp["v"]["b"])])
         _linear_out(sd, base + "attn.out_proj", lp["o"])
         sd[base + "norm_2.weight"] = _np32(lp["ln2"])
         _linear_out(sd, base + "ffn.up_proj", lp["up"])

@@ -172,3 +172,48 @@ def test_mpt_vlm_roundtrip_bit_exact(tmp_path):
 
     audit = ckpt.audit_key_map(sd, cfg)
     assert audit["unused_keys"] == []
+
+
+def test_mpt_qkv_bias_roundtrip(tmp_path):
+    """no_bias=False MPT family: Wqkv.bias must survive export -> import
+    (review r2: biases were silently dropped)."""
+    from fastvlm_tpu.config import mpt_7b
+
+    dec = mpt_7b(vocab_size=64, hidden_size=32, num_layers=2, num_heads=4,
+                 num_kv_heads=4, head_dim=8, intermediate_size=128,
+                 tie_word_embeddings=True, qkv_bias=True)
+    params = qwen2.init(jax.random.PRNGKey(7), dec)
+    # give the biases non-zero values so a drop is detectable
+    layers = dict(params["layers"])
+    for n in ("q", "k", "v"):
+        layers[n] = dict(layers[n],
+                         b=jax.random.normal(jax.random.PRNGKey(8),
+                                             layers[n]["b"].shape))
+    params["layers"] = layers
+
+    from fastvlm_tpu.utils.hf_export import export_decoder_mpt
+
+    sd = {}
+    export_decoder_mpt(params, dec, sd)
+    assert "transformer.blocks.0.attn.Wqkv.bias" in sd
+    params2 = ckpt.convert_decoder_mpt(sd, dec)
+    for n in ("q", "k", "v"):
+        np.testing.assert_array_equal(
+            np.asarray(params["layers"][n]["b"]),
+            np.asarray(params2["layers"][n]["b"]), err_msg=n)
+
+
+def test_mpt_untied_missing_lm_head_raises():
+    from fastvlm_tpu.config import mpt_7b
+
+    dec = mpt_7b(vocab_size=64, hidden_size=32, num_layers=1, num_heads=4,
+                 num_kv_heads=4, head_dim=8, intermediate_size=128,
+                 tie_word_embeddings=False)
+    tied = dataclasses.replace(dec, tie_word_embeddings=True)
+    params = qwen2.init(jax.random.PRNGKey(9), tied)
+    from fastvlm_tpu.utils.hf_export import export_decoder_mpt
+
+    sd = {}
+    export_decoder_mpt(params, tied, sd)  # no lm_head written (tied)
+    with pytest.raises(KeyError, match="lm_head"):
+        ckpt.convert_decoder_mpt(sd, dec)

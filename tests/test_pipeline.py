@@ -24,7 +24,7 @@ CFG = Qwen2Config(vocab_size=64, hidden_size=32, num_layers=4, num_heads=4,
 def _inputs(m, b, t, seed=0):
     ids = jax.random.randint(jax.random.PRNGKey(seed), (m * b, t), 0,
                              CFG.vocab_size)
-    lens = jnp.asarray([t, t - 2, t, t - 1][: m * b], jnp.int32)
+    lens = jnp.asarray(([t, t - 2, t, t - 1] * m)[: m * b], jnp.int32)
     return ids, lens
 
 
@@ -35,7 +35,7 @@ def _microbatch(x, m):
 def test_pipelined_forward_matches_plain():
     mesh = make_mesh(dp=2, tp=4)  # 4 pipeline stages on the model axis
     params = qwen2.init(jax.random.PRNGKey(0), CFG)
-    m, b, t = 4, 1, 8
+    m, b, t = 4, 2, 8  # b divisible by dp=2 (dp composes with pp)
     ids, lens = _inputs(m, b, t)
     embeds = qwen2.embed(params, ids)
     positions = jnp.arange(t, dtype=jnp.int32)[None].repeat(m * b, 0)
@@ -74,7 +74,9 @@ def test_pipelined_gradients_match_plain():
         return jnp.mean((h.reshape(m * b, t, -1) - tgt) ** 2)
 
     g_ref = jax.grad(loss_plain)(params)
-    g_pp = jax.grad(loss_pp)(shard_decoder_pipeline(params, mesh))
+    # remat (jax.checkpoint) inside shard_map requires the outer call to be
+    # jitted — which is how train_step_pp always runs it
+    g_pp = jax.jit(jax.grad(loss_pp))(shard_decoder_pipeline(params, mesh))
     for (k, a), (_, b_) in zip(
             jax.tree_util.tree_flatten_with_path(g_ref)[0],
             jax.tree_util.tree_flatten_with_path(jax.device_get(g_pp))[0]):
@@ -171,8 +173,9 @@ def test_train_sft_cli_pp_and_sp(tmp_path):
 
     common = ["--random-tiny", "--data-path", str(tmp_path / "d.json"),
               "--image-folder", str(img_dir),
-              "--batch-size", "4", "--max-steps", "2", "--log-steps", "1",
+              "--batch-size", "8", "--max-steps", "2", "--log-steps", "1",
               "--save-steps", "0"]
+    # tp=2 stages on 8 devices -> dp=4; 8/2 microbatches of 4 rows each
     rc = train_sft.main(common + ["--output-dir", str(tmp_path / "pp"),
                                   "--tp", "2", "--pp-micro", "2"])
     assert rc == 0
