@@ -84,7 +84,10 @@ class Engine:
         *,
         conv_mode: str = "qwen_2",
         bucket: int = 64,
-        chunk: int = 8,
+        # 16-token decode chunks: one tunnel dispatch per 16 tokens, and the
+        # batcher's chunk-view paged decode amortizes its per-chunk pool
+        # gather to ~12% of KV traffic (docs/PERF.md round-3 A/B)
+        chunk: int = 16,
         eos_ids: Optional[Tuple[int, ...]] = None,
     ):
         self.cfg = cfg

@@ -134,11 +134,16 @@ def _flat_dest(block_tables, positions, page_size):
     """Virtual positions (B, T) -> flat pool indices (B, T) into (P*page).
 
     Unmapped pages (table entry -1) map to a far out-of-bounds index
-    (positive — negative indices would wrap), which the scatter drops."""
+    (positive — negative indices would wrap), which the scatter drops.
+    Positions past the table's virtual capacity are dropped the same way
+    (take_along_axis would otherwise CLAMP the slot index to the last
+    column — a finished row at full length could alias its last page)."""
+    slots = positions // page_size
     page_ids = jnp.take_along_axis(
-        block_tables, positions // page_size, axis=1)  # (B, T)
+        block_tables, jnp.minimum(slots, block_tables.shape[1] - 1), axis=1)
     dest = page_ids * page_size + positions % page_size
-    return jnp.where(page_ids < 0, jnp.int32(2 ** 30), dest)
+    oob = (page_ids < 0) | (slots >= block_tables.shape[1])
+    return jnp.where(oob, jnp.int32(2 ** 30), dest)
 
 
 def write_prompt_paged(layer_k, layer_v, new_k, new_v, block_tables, offset=0):
@@ -174,6 +179,25 @@ def write_token_paged(layer_k, layer_v, new_k, new_v, block_tables, lengths):
             layer_v.reshape(-1, page, h, d))
 
 
+def write_tokens_paged_rows(layer_k, layer_v, new_k, new_v, block_tables,
+                            row_offsets):
+    """Scatter (B, T, H, D) keys/values to per-row virtual positions
+    [row_offsets[b], row_offsets[b] + T) — the chunk-view write-back
+    (each row's chunk starts at its own length, unlike write_prompt_paged's
+    shared scalar offset). layer_k/v: (P, page, H, D) pool slices."""
+    b, t, h, d = new_k.shape
+    page = layer_k.shape[1]
+    pos = row_offsets[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]
+    dest = _flat_dest(block_tables, pos, page).reshape(-1)  # (B*T,)
+    flat_shape = (layer_k.shape[0] * page, h, d)
+    layer_k = layer_k.reshape(flat_shape).at[dest].set(
+        new_k.astype(layer_k.dtype).reshape(-1, h, d), mode="drop")
+    layer_v = layer_v.reshape(flat_shape).at[dest].set(
+        new_v.astype(layer_v.dtype).reshape(-1, h, d), mode="drop")
+    return (layer_k.reshape(-1, page, h, d),
+            layer_v.reshape(-1, page, h, d))
+
+
 def gather_pages(layer_pages, block_tables):
     """Dense (B, pages_per_seq * page, H, D) view of one layer's pool —
     the XLA-attention fallback (the Pallas kernel in
@@ -185,3 +209,18 @@ def gather_pages(layer_pages, block_tables):
     gathered = jnp.take(layer_pages, tables.reshape(-1), axis=0)
     _, page, h, d = layer_pages.shape
     return gathered.reshape(b, n * page, h, d)
+
+
+def gather_pool_view(cache: "PagedKVCache", s_bucket: int):
+    """Dense (L, B, s_bucket, H, D) k/v views of each row's first
+    ``s_bucket`` virtual positions — the chunk-view decode's working set
+    (models/vlm.py:decode_chunk_paged). One gather per CHUNK instead of
+    per token: the per-token gather tax (docs/PERF.md, 2.4x at 4096 ctx)
+    amortizes to ~2 extra KV passes per k-token chunk.
+
+    ``s_bucket`` must be a multiple of page_size."""
+    page = cache.page_size
+    tables = cache.block_tables[:, : s_bucket // page]
+    k = jax.vmap(lambda p: gather_pages(p, tables))(cache.k_pages)
+    v = jax.vmap(lambda p: gather_pages(p, tables))(cache.v_pages)
+    return k, v

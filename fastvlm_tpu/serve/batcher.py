@@ -53,6 +53,14 @@ def _round_batch(n: int, caps=(1, 2, 4, 8)) -> int:
     return caps[-1]
 
 
+def _round_bucket(n: int, page: int, step: int = 512) -> int:
+    """Round a view length up to the recompile-bucket step AND a whole
+    number of pages (chunk-view decode is compiled per bucket — 512-token
+    steps keep the specialization count to a handful)."""
+    b = -(-n // step) * step
+    return -(-b // page) * page
+
+
 class PagePool:
     """Host-side free list over the device KV page pool.
 
@@ -89,10 +97,14 @@ class BatchScheduler:
 
     def __init__(self, engine, *, max_batch: int = 8, window_ms: float = 15.0,
                  paged: bool = True, page_size: int = 64,
-                 pool_tokens: int = 16384):
+                 pool_tokens: int = 16384, chunk_view: bool = True):
         self.engine = engine
         self.max_batch = max_batch
         self.window_s = window_ms / 1000.0
+        # chunk-view decode (vlm.decode_chunk_paged): gather the pool into a
+        # bucketed dense view once per chunk instead of per token — the
+        # gather-free serving decode. False = legacy per-token gather path.
+        self.chunk_view = chunk_view
         self.queue: "queue.Queue[_Request]" = queue.Queue()
         self._stop = False
         # paged KV serving: one shared device page pool; rows map pages as
@@ -362,9 +374,22 @@ class BatchScheduler:
                     cache = self._grow_pages(cache, tables, row_pages,
                                              lens_host, finished, n_real,
                                              chunk_idx, k)
-                toks, done, tok, cache, key = vlm.decode_chunk(
-                    engine.params, cfg, tok, done, cache, key, k=k,
-                    eos_ids=engine.eos_ids, sampling=sampling)
+                if tables is not None and self.chunk_view:
+                    # bucket the chunk's dense view to the longest active
+                    # row + k (device lengths advance k per chunk per row)
+                    active = [lens_host[i] + chunk_idx * k
+                              for i in range(n_real) if not finished[i]]
+                    cap = tables.shape[1] * self.page_size
+                    s_bucket = min(cap, _round_bucket(
+                        (max(active) if active else 1) + k, self.page_size))
+                    toks, done, tok, cache, key = vlm.decode_chunk_paged(
+                        engine.params, cfg, tok, done, cache, key, k=k,
+                        s_bucket=s_bucket, eos_ids=engine.eos_ids,
+                        sampling=sampling)
+                else:
+                    toks, done, tok, cache, key = vlm.decode_chunk(
+                        engine.params, cfg, tok, done, cache, key, k=k,
+                        eos_ids=engine.eos_ids, sampling=sampling)
                 chunk_idx += 1
                 host = np.asarray(toks)
                 for i in range(n_real):

@@ -182,7 +182,7 @@ def test_paged_pool_recovers_after_batch_failure(engine):
 
     sched = BatchScheduler(engine, window_ms=5, paged=True,
                            page_size=16, pool_tokens=4096)
-    orig = vlm_mod.decode_chunk
+    orig = vlm_mod.decode_chunk_paged  # the paged serving path's chunk fn
     calls = {"n": 0}
 
     def boom(*a, **k):
@@ -190,7 +190,7 @@ def test_paged_pool_recovers_after_batch_failure(engine):
         raise RuntimeError("injected decode failure")
 
     try:
-        vlm_mod.decode_chunk = boom
+        vlm_mod.decode_chunk_paged = boom
         updates = list(sched.submit(engine.build_prompt("fail me"),
                                     max_new_tokens=8))
         assert any("error" in u for u in updates), updates
@@ -198,7 +198,7 @@ def test_paged_pool_recovers_after_batch_failure(engine):
         assert sched._pool_kv is None  # dropped, not poisoned
         assert sched.pool.free_pages == sched.pool.num_pages
     finally:
-        vlm_mod.decode_chunk = orig
+        vlm_mod.decode_chunk_paged = orig
 
     try:
         want, _ = engine.chat("recover", max_new_tokens=6)

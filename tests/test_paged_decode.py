@@ -148,6 +148,61 @@ def test_paged_decode_chunk_and_generate_parity():
     np.testing.assert_array_equal(toks["paged"], toks["dense"])
 
 
+def test_chunk_view_paged_decode_matches_dense_across_chunks():
+    """vlm.decode_chunk_paged (gather-once-per-chunk serving decode) must
+    produce the dense path's tokens AND leave the pool consistent for the
+    next chunk (the write-back is what a later chunk's gathered view reads)."""
+    from fastvlm_tpu.config import FastViTConfig, FastVLMConfig, ProjectorConfig
+    from fastvlm_tpu.models import vlm
+    from fastvlm_tpu.ops.sampling import SamplingParams
+
+    vis = FastViTConfig(layers=(1, 1, 1, 1, 1), embed_dims=(8, 16, 24, 32, 40),
+                        image_size=256)
+    cfg = FastVLMConfig(
+        vision=vis,
+        projector=ProjectorConfig(mm_hidden_size=80, hidden_size=32),
+        decoder=TINY,
+    )
+    params = vlm.init(jax.random.PRNGKey(0), cfg)
+    b, t, k, chunks = 2, 16, 4, 3
+    ids = jax.random.randint(jax.random.PRNGKey(1), (b, t), 0, 100)
+    starts = jnp.asarray([-1, -1], jnp.int32)
+    pages_per_seq = -(-(t + k * chunks) // PAGE)
+
+    dense = init_cache(TINY.num_layers, b, pages_per_seq * PAGE,
+                       TINY.num_kv_heads, TINY.head_dim, jnp.float32)
+    paged = init_paged_cache(TINY.num_layers, b, b * pages_per_seq + 1, PAGE,
+                             pages_per_seq, TINY.num_kv_heads, TINY.head_dim,
+                             jnp.float32)
+    paged = paged._replace(
+        block_tables=_alloc_tables(b, pages_per_seq, 5) + 1)
+
+    outs = {}
+    for name, cache in (("dense", dense), ("paged-view", paged)):
+        seq_lens = jnp.asarray([t, t - 5], jnp.int32)
+        logits, cache = vlm.prefill(params, cfg, None, ids, seq_lens, starts,
+                                    cache)
+        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        done = jnp.zeros((b,), bool)
+        key = jax.random.PRNGKey(7)
+        got = []
+        for ci in range(chunks):
+            if name == "paged-view":
+                # grow the bucket across chunks like the batcher does
+                s_bucket = -(-(t + (ci + 1) * k) // PAGE) * PAGE
+                out, done, tok, cache, key = vlm.decode_chunk_paged(
+                    params, cfg, tok, done, cache, key, k=k,
+                    s_bucket=s_bucket, eos_ids=(127,),
+                    sampling=SamplingParams(temperature=0.0))
+            else:
+                out, done, tok, cache, key = vlm.decode_chunk(
+                    params, cfg, tok, done, cache, key, k=k, eos_ids=(127,),
+                    sampling=SamplingParams(temperature=0.0))
+            got.append(np.asarray(out))
+        outs[name] = np.concatenate(got, axis=1)
+    np.testing.assert_array_equal(outs["paged-view"], outs["dense"])
+
+
 def test_unmapped_tail_pages_do_not_change_logits():
     """Pages past the final token may be unmapped (-1): decode must mask
     them, not read pool page 0 (which belongs to another row)."""
