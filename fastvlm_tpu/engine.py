@@ -393,6 +393,46 @@ class Engine:
             pass
         return last["text"], last["stats"]
 
+    def generate_beam(
+        self,
+        prompt: str,
+        image=None,
+        *,
+        num_beams: int = 4,
+        max_new_tokens: Optional[int] = None,
+        length_penalty: float = 1.0,
+    ) -> Tuple[str, Dict[str, Any]]:
+        """Deterministic beam-search generate (reference predict.py:57,67
+        routes --num_beams through HF generate; ops/beam.py is the
+        device-resident equivalent — W folded into the batch axis, one
+        jitted fixed-length search)."""
+        from fastvlm_tpu.ops.beam import beam_search
+
+        cfg = self.cfg
+        max_new = max_new_tokens or cfg.max_new_tokens
+        inputs = self.prepare(prompt, image)
+        ids, lens, starts = inputs["ids"], inputs["lens"], inputs["starts"]
+        b, t = ids.shape
+        stats = RequestStats(prompt_tokens=int(_sync(lens)[0]))
+        cache = init_cache(
+            cfg.decoder.num_layers, b, t + max_new,
+            cfg.decoder.num_kv_heads, cfg.decoder.head_dim, self._dtype)
+        t0 = time.perf_counter()
+        logits, cache = self._prefill_jit(
+            self.params, inputs["images"], ids, lens, starts, cache,
+            inputs["vision_embeds"])
+        res = beam_search(
+            self.params, cfg, logits, cache, num_beams=num_beams,
+            max_new_tokens=max_new, eos_ids=self.eos_ids,
+            length_penalty=length_penalty)
+        n = int(_sync(res.lengths)[0])
+        toks = [int(x) for x in _sync(res.tokens)[0][:n]]
+        stats.ttft_ms = (time.perf_counter() - t0) * 1000  # full search here
+        stats.decode_tokens = n
+        if toks and toks[-1] in self.eos_ids:
+            toks = toks[:-1]
+        return self._decode_text(toks), stats.as_dict()
+
     def chat(self, user_prompt: str, image=None, **kw):
         """Convenience: wraps user_prompt in the conversation template."""
         return self.generate(self.build_prompt(user_prompt), image, **kw)

@@ -148,19 +148,28 @@ def _mlp(h, lp, cfg: Qwen2Config):
     return _project(gated, lp["down"])
 
 
+def _lora_delta(x, p):
+    """scale * (x @ A) @ B in f32 (train/lora.py adapter leaves)."""
+    low = jnp.einsum("btd,dr->btr", x, p["lora_a"].astype(x.dtype),
+                     preferred_element_type=jnp.float32).astype(x.dtype)
+    delta = jnp.einsum("btr,ro->bto", low, p["lora_b"].astype(x.dtype),
+                       preferred_element_type=jnp.float32)
+    return p["lora_scale"].astype(jnp.float32) * delta
+
+
 def _project(x, p):
     if "w_q" in p:  # weight-only quantized linear (ops/quant.py)
         from fastvlm_tpu.ops.quant import quantized_matmul
 
-        return quantized_matmul(x, p)
+        out = quantized_matmul(x, p)  # handles scale + bias
+        if "lora_a" in p:  # QLoRA: adapters ride on the frozen int base
+            # (reference train_qwen.py:1050-1067 bnb base + :1113-1129 peft)
+            out = (out.astype(jnp.float32) + _lora_delta(x, p)).astype(x.dtype)
+        return out
     out = jnp.einsum("btd,df->btf", x, p["w"].astype(x.dtype),
                      preferred_element_type=jnp.float32)
     if "lora_a" in p:  # low-rank adapter path (train/lora.py)
-        low = jnp.einsum("btd,dr->btr", x, p["lora_a"].astype(x.dtype),
-                         preferred_element_type=jnp.float32).astype(x.dtype)
-        delta = jnp.einsum("btr,ro->bto", low, p["lora_b"].astype(x.dtype),
-                           preferred_element_type=jnp.float32)
-        out = out + p["lora_scale"].astype(jnp.float32) * delta
+        out = out + _lora_delta(x, p)
     if "b" in p:
         out = out + p["b"].astype(jnp.float32)
     return out.astype(x.dtype)

@@ -64,6 +64,40 @@ def _dw_shift(x, w, b, padding):
     return acc.astype(x.dtype)
 
 
+import functools
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _conv_f32acc(x, w, stride, padding, groups):
+    """conv_general_dilated with f32 accumulation AND a working gradient
+    under mixed precision: jax 0.9's transpose rule rejects the f32
+    cotangent against bf16 operands ("requires arguments to have the same
+    dtypes"), so the backward recomputes the VJP through an all-f32 conv
+    (backward-only 2x bandwidth; training-path cost, inference unchanged)."""
+    return lax.conv_general_dilated(
+        x, w, window_strides=stride, padding=padding,
+        dimension_numbers=DIMS, feature_group_count=groups,
+        preferred_element_type=jnp.float32)
+
+
+def _conv_fwd(x, w, stride, padding, groups):
+    return _conv_f32acc(x, w, stride, padding, groups), (x, w)
+
+
+def _conv_bwd(stride, padding, groups, res, ct):
+    x, w = res
+    _, vjp = jax.vjp(
+        lambda a, b: lax.conv_general_dilated(
+            a, b, window_strides=stride, padding=padding,
+            dimension_numbers=DIMS, feature_group_count=groups),
+        x.astype(jnp.float32), w.astype(jnp.float32))
+    dx, dw = vjp(ct.astype(jnp.float32))
+    return dx.astype(x.dtype), dw.astype(w.dtype)
+
+
+_conv_f32acc.defvjp(_conv_fwd, _conv_bwd)
+
+
 def conv2d(x, w, b=None, *, stride=1, padding=None, groups=1):
     """NHWC conv. ``w`` is HWIO with I = C_in // groups.
 
@@ -83,15 +117,8 @@ def conv2d(x, w, b=None, *, stride=1, padding=None, groups=1):
     if _DW_STRATEGY == "shift" and depthwise_identity and stride == (1, 1):
         return _dw_shift(x, w, b, padding)
 
-    out = lax.conv_general_dilated(
-        x,
-        w.astype(x.dtype),
-        window_strides=stride,
-        padding=padding,
-        dimension_numbers=DIMS,
-        feature_group_count=groups,
-        preferred_element_type=jnp.float32,
-    )
+    out = _conv_f32acc(x, w.astype(x.dtype), tuple(stride),
+                       tuple(map(tuple, padding)), groups)
     if b is not None:
         out = out + b.astype(jnp.float32)
     return out.astype(x.dtype)

@@ -55,6 +55,9 @@ def quantize_linear(p: Dict[str, Any], bits: int = 8,
         out["a8"] = jnp.ones(scale.shape[:-1] + (1,), jnp.int8)
     if "b" in p:
         out["b"] = p["b"]
+    for k in ("lora_a", "lora_b", "lora_scale"):  # QLoRA: adapters ride on
+        if k in p:                                # the quantized base
+            out[k] = p[k]
     return out
 
 

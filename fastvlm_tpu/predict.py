@@ -115,8 +115,16 @@ def main(argv=None) -> int:
     )
 
     t0 = time.perf_counter()
-    text, stats = engine.generate(
-        prompt, image, max_new_tokens=args.max_new_tokens, sampling=sampling)
+    if args.num_beams > 1:
+        # beam decode is deterministic (the reference's HF generate also
+        # ignores sampling when beams are used without do_sample)
+        text, stats = engine.generate_beam(
+            prompt, image, num_beams=args.num_beams,
+            max_new_tokens=args.max_new_tokens)
+    else:
+        text, stats = engine.generate(
+            prompt, image, max_new_tokens=args.max_new_tokens,
+            sampling=sampling)
     elapsed = time.perf_counter() - t0
     print(text.strip())
 

@@ -20,28 +20,56 @@ import optax
 DEFAULT_TARGETS = ("q", "k", "v", "o", "gate", "up", "down")
 
 
+def _target_cin(name: str, cfg) -> int:
+    """Input width of a decoder linear by name (for quantized layers, whose
+    packed int4 w_q can't reveal cin from shape alone)."""
+    if name == "o":
+        return cfg.q_dim
+    if name == "down":
+        return cfg.intermediate_size
+    return cfg.hidden_size  # q/k/v/gate/up/qkv/gateup
+
+
 def add_lora(
     decoder_params: Dict[str, Any],
     rng: jax.Array,
     r: int = 8,
     alpha: float = 16.0,
     targets: Sequence[str] = DEFAULT_TARGETS,
+    cfg=None,
 ) -> Dict[str, Any]:
     """Attach zero-initialized adapters (A ~ N(0, 0.02), B = 0 => identity
-    at step 0, like peft)."""
+    at step 0, like peft).
+
+    Also attaches to weight-only-quantized linears ({"w_q","scale"} dicts,
+    ops/quant.py) — the QLoRA configuration (reference train_qwen.py:
+    1050-1067 bnb 4/8-bit base + :1113-1129 peft adapters +
+    prepare_model_for_kbit_training). Pass ``cfg`` (Qwen2Config) for
+    quantized bases: packed int4 weights can't reveal cin from shape."""
     out = dict(decoder_params)
     layers = dict(decoder_params["layers"])
     keys = jax.random.split(rng, len(targets))
     for key, name in zip(keys, targets):
-        if name not in layers or "w" not in layers[name]:
+        if name not in layers:
             continue
         p = dict(layers[name])
-        w = p["w"]  # (L, cin, cout)
-        lead = w.shape[:-2]
-        cin, cout = w.shape[-2:]
+        if "w" in p:
+            w = p["w"]  # (L, cin, cout)
+            lead, (cin, cout) = w.shape[:-2], w.shape[-2:]
+            dtype = w.dtype
+        elif "w_q" in p:
+            if cfg is None:
+                raise ValueError(
+                    f"add_lora on quantized layer {name!r} needs cfg= "
+                    "(int4 packing hides cin)")
+            lead = p["scale"].shape[:-1]
+            cin, cout = _target_cin(name, cfg), p["scale"].shape[-1]
+            dtype = p["b"].dtype if "b" in p else jnp.bfloat16
+        else:
+            continue
         p["lora_a"] = (jax.random.normal(key, lead + (cin, r)) * 0.02
-                       ).astype(w.dtype)
-        p["lora_b"] = jnp.zeros(lead + (r, cout), w.dtype)
+                       ).astype(dtype)
+        p["lora_b"] = jnp.zeros(lead + (r, cout), dtype)
         p["lora_scale"] = jnp.full(lead + (1,), alpha / r, jnp.float32)
         layers[name] = p
     out["layers"] = layers
@@ -49,7 +77,13 @@ def add_lora(
 
 
 def merge(decoder_params: Dict[str, Any]) -> Dict[str, Any]:
-    """Fold adapters into dense weights; drop lora leaves."""
+    """Fold adapters into dense weights; drop lora leaves.
+
+    Quantized bases ({"w_q","scale"}): dequantize, add the delta, and
+    requantize at the original width — the serving-time equivalent of
+    peft merge_and_unload on a kbit model (reference model/builder.py:56-65)."""
+    from fastvlm_tpu.ops import quant
+
     out = dict(decoder_params)
     layers = {}
     for name, p in decoder_params["layers"].items():
@@ -59,8 +93,14 @@ def merge(decoder_params: Dict[str, Any]) -> Dict[str, Any]:
                 "...ir,...ro->...io", p["lora_a"].astype(jnp.float32),
                 p["lora_b"].astype(jnp.float32))
             scale = p["lora_scale"][..., None]
-            p["w"] = (p["w"].astype(jnp.float32) + scale * delta).astype(
-                p["w"].dtype)
+            if "w_q" in p:
+                cin = p["lora_a"].shape[-2]
+                bits = 8 if p["w_q"].shape[-2] == cin else 4
+                w = quant.dequantize(p, cin) + scale * delta
+                p["w_q"], p["scale"] = quant._quantize_array(w, bits)
+            else:
+                p["w"] = (p["w"].astype(jnp.float32) + scale * delta).astype(
+                    p["w"].dtype)
             for k in ("lora_a", "lora_b", "lora_scale"):
                 del p[k]
         layers[name] = p

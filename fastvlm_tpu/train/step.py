@@ -126,6 +126,24 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
 
 
+def _value_and_grad(fn):
+    """value_and_grad over trees that may hold integer leaves (QLoRA: the
+    frozen int8/int4 base under float LoRA adapters, reference
+    train_qwen.py:1050-1067 + 1113-1129). Integer leaves get float0
+    tangents (allow_int); we rewrite those to typed zeros so optax's
+    set_to_zero/apply_updates can flow them (float0 supports no arithmetic)."""
+
+    def wrapped(params, *args, **kw):
+        val, grads = jax.value_and_grad(fn, allow_int=True)(
+            params, *args, **kw)
+        grads = jax.tree.map(
+            lambda g, p: jnp.zeros_like(p)
+            if g.dtype == jax.dtypes.float0 else g, grads, params)
+        return val, grads
+
+    return wrapped
+
+
 def make_train_state(params: Any, tx: optax.GradientTransformation) -> TrainState:
     return TrainState(params=params, opt_state=tx.init(params), step=jnp.int32(0))
 
@@ -175,7 +193,7 @@ def train_step_pp(
     Layer params/grads/optimizer moments all live stage-local (L axis
     sharded) — use parallel.pipeline.shard_decoder_pipeline on the decoder
     tree before make_train_state."""
-    loss, grads = jax.value_and_grad(loss_fn_pp)(
+    loss, grads = _value_and_grad(loss_fn_pp)(
         state.params, cfg, batch, mesh, n_micro)
     updates, opt_state = tx.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
@@ -191,7 +209,7 @@ def train_step(
     batch: Dict[str, jnp.ndarray],
     seq_sharding=None,
 ) -> Tuple[TrainState, jnp.ndarray]:
-    loss, grads = jax.value_and_grad(loss_fn)(
+    loss, grads = _value_and_grad(loss_fn)(
         state.params, cfg, batch, seq_sharding=seq_sharding)
     updates, opt_state = tx.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)

@@ -48,6 +48,10 @@ def main(argv=None):
     parser.add_argument("--lora-enable", action="store_true")
     parser.add_argument("--lora-r", type=int, default=8)
     parser.add_argument("--lora-alpha", type=float, default=16.0)
+    parser.add_argument("--bits", type=int, default=None, choices=[4, 8],
+                        help="QLoRA: freeze an int4/int8-quantized decoder "
+                             "base under the LoRA adapters (fits 7B "
+                             "fine-tuning on one 16 GB chip)")
     # parallelism
     parser.add_argument("--tp", type=int, default=1)
     parser.add_argument("--sp", action="store_true",
@@ -179,6 +183,7 @@ def main(argv=None):
         lora_enable=args.lora_enable,
         lora_r=args.lora_r,
         lora_alpha=args.lora_alpha,
+        bits=args.bits,
         zero1=args.zero1,
     )
     trainer = Trainer(cfg, params, dataset, train_args, mesh=mesh,

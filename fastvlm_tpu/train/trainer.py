@@ -45,6 +45,9 @@ class TrainingArguments:
     lora_enable: bool = False
     lora_r: int = 8
     lora_alpha: float = 16.0
+    bits: Optional[int] = None  # 4/8: freeze an int-quantized decoder base
+    #                             under the LoRA adapters (QLoRA; reference
+    #                             train_qwen.py:1050-1067 + 1113-1129)
     zero1: bool = False  # shard optimizer state over the data axis
     group_by_modality_length: bool = False
     tune_mm_mlp_adapter: bool = False   # adapter-only training + checkpoints
@@ -88,13 +91,25 @@ class Trainer:
         total = args.max_steps or max(steps_per_epoch * args.num_epochs, 1)
         self.total_steps = total
 
+        if args.bits and not args.lora_enable:
+            raise ValueError("--bits trains a frozen quantized base and "
+                             "needs --lora-enable (QLoRA); a full fine-tune "
+                             "of int weights is not meaningful")
         if args.lora_enable:
             from fastvlm_tpu.train import lora
 
             params = dict(params)
+            dec = params["decoder"]
+            if args.bits:
+                # QLoRA: int8/int4 frozen base (embeddings/norms/lm_head
+                # stay float — the reference keeps lm_head out of kbit too)
+                from fastvlm_tpu.ops.quant import quantize_decoder
+
+                dec = quantize_decoder(dec, bits=args.bits,
+                                       skip=("lm_head",))
             params["decoder"] = lora.add_lora(
-                params["decoder"], jax.random.PRNGKey(args.seed),
-                r=args.lora_r, alpha=args.lora_alpha)
+                dec, jax.random.PRNGKey(args.seed),
+                r=args.lora_r, alpha=args.lora_alpha, cfg=cfg.decoder)
             self.tx = lora.make_lora_optimizer(
                 params, lr=args.learning_rate,
                 weight_decay=args.weight_decay, grad_clip=args.grad_clip)

@@ -22,16 +22,24 @@ if [[ "${1:-}" == "--simulate" ]]; then
     N="${2:-2}"
     PORT=$(( 20000 + RANDOM % 20000 ))
     echo "simulating $N processes, coordinator 127.0.0.1:$PORT"
+    # per-process log files: concurrent writers to one tty can interleave
+    # WITHIN a line, which broke line-oriented checks (VERDICT r2 weak #2)
+    LOGDIR="$(mktemp -d)"
     pids=()
     for ((i=0; i<N; i++)); do
         python scripts/multihost_probe.py \
             --coordinator "127.0.0.1:$PORT" \
             --num-processes "$N" --process-id "$i" \
-            --platform cpu --local-devices 2 &
+            --platform cpu --local-devices 2 \
+            > "$LOGDIR/proc$i.log" 2>&1 &
         pids+=($!)
     done
     rc=0
     for pid in "${pids[@]}"; do wait "$pid" || rc=1; done
+    for ((i=0; i<N; i++)); do
+        sed "s/^/[proc$i] /" "$LOGDIR/proc$i.log"
+    done
+    rm -rf "$LOGDIR"
     exit $rc
 fi
 

@@ -18,7 +18,11 @@ def test_two_process_simulation():
          "--simulate", "2"],
         capture_output=True, text=True, timeout=240, env=env)
     assert out.returncode == 0, out.stdout + out.stderr
-    oks = [l for l in out.stdout.splitlines() if l.startswith("MULTIHOST_OK")]
+    # the launcher writes each process's output to its own file and replays
+    # it with a "[procN] " prefix — concurrent-writer interleaving (which
+    # made this test flaky) can no longer split or merge lines
+    oks = [l for l in out.stdout.splitlines()
+           if l.split("] ", 1)[-1].startswith("MULTIHOST_OK")]
     assert len(oks) == 2, out.stdout + out.stderr
     assert any("0/2" in l for l in oks) and any("1/2" in l for l in oks)
     assert all("4 global" in l for l in oks)
