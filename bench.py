@@ -297,6 +297,77 @@ CONFIGS = {
 }
 
 
+def run_config(name: str, *, iters: int = 40, dtype: str = "bfloat16",
+               decode_variants=None) -> dict:
+    """Run one named BASELINE config; returns the result JSON dict."""
+    c = CONFIGS[name]
+    size, image_size, batch = c["size"], c["image_size"], c["batch"]
+    mode = c["mode"]
+    cfg, params = make_model(size, image_size, dtype,
+                             quantize_bits=c.get("quantize_bits"),
+                             act_quant=c.get("act_quant", False))
+    if mode == "video":
+        p50, times = bench_video(cfg, params)
+        print(json.dumps({"config": name,
+                          "times_ms": [round(t, 1) for t in times]}),
+              file=sys.stderr)
+        return {
+            "metric": f"p50 per-frame latency video-QA {size} @{image_size}px (32 new tokens, KV prefix reuse)",
+            "value": round(p50, 2), "unit": "ms", "vs_baseline": 0.0,
+        }
+    if mode == "decode_ctx":
+        results = {}
+        variants = decode_variants or ("dense-xla", "paged-xla",
+                                       "paged-xla-view", "dense-pallas",
+                                       "paged-pallas")
+        for ctx in (2048, 4096):
+            for variant in variants:
+                tps = bench_decode_ctx(cfg, params, batch, ctx,
+                                       variant=variant)
+                results[f"{variant}@{ctx}"] = round(tps, 1)
+                print(json.dumps({"config": name, "ctx": ctx,
+                                  "variant": variant,
+                                  "tok_s": round(tps, 1)}), file=sys.stderr)
+        # headline = the batcher's production path (chunk-view paged decode)
+        best = results["paged-xla-view@4096"]
+        return {
+            "metric": f"decode throughput {size} b{batch} @4096ctx paged-xla-view (serving path)",
+            "value": best, "unit": "tok/s",
+            "vs_baseline": round(best / results["dense-xla@4096"], 3),
+            "variants": results,
+        }
+    if mode == "decode":
+        tps = bench_decode(cfg, params, batch)
+        return {
+            "metric": f"decode throughput {size} b{batch}",
+            "value": round(tps, 1), "unit": "tok/s", "vs_baseline": 0.0,
+        }
+
+    p50, times, bucket = bench_ttft(cfg, params, batch, iters)
+    print(json.dumps({
+        "config": name, "size": size, "image_size": image_size,
+        "batch": batch, "prompt_tokens": bucket,
+        "p50_ms": round(p50, 2),
+        "mean_ms": round(float(np.mean(times)), 2),
+        "min_ms": round(float(np.min(times)), 2),
+    }), file=sys.stderr)
+    # batched configs compare per-image time against the (b1) baseline point
+    per_image = p50 / batch
+    return {
+        "metric": f"p50 TTFT FastVLM-{size} @{image_size}px b{batch} (encode+prefill)",
+        "value": round(p50, 2),
+        "unit": "ms",
+        "vs_baseline": round(REFERENCE_TTFT_MS / per_image, 3),
+    }
+
+
+# The driver-visible matrix (VERDICT r2 #3): one entry per BASELINE config,
+# so BENCH_r{N}.json captures the whole north star — especially the 7B
+# number — in a single self-contained line.
+MATRIX = ("0.5b-caption", "1.5b-vqa", "7b-batch8-w8a8", "ocr-1536",
+          "video-qa", "decode-paged")
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--size", default="0.5b", choices=["0.5b", "1.5b", "7b"])
@@ -305,75 +376,50 @@ def main(argv=None) -> int:
     p.add_argument("--iters", type=int, default=40)
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--config", default=None, choices=list(CONFIGS),
-                   help="named BASELINE config (overrides size/image/batch)")
+                   help="run ONE named BASELINE config")
+    p.add_argument("--single", action="store_true",
+                   help="one TTFT run from --size/--image-size/--batch "
+                        "instead of the full matrix")
     p.add_argument("--quantize-bits", type=int, default=None)
     args = p.parse_args(argv)
 
-    mode = "ttft"
     if args.config:
-        c = CONFIGS[args.config]
-        args.size, args.image_size, args.batch = \
-            c["size"], c["image_size"], c["batch"]
-        mode = c["mode"]
-        args.quantize_bits = c.get("quantize_bits", args.quantize_bits)
-        args.act_quant = c.get("act_quant", False)
-
-    cfg, params = make_model(args.size, args.image_size, args.dtype,
-                             quantize_bits=args.quantize_bits,
-                             act_quant=getattr(args, "act_quant", False))
-
-    if mode == "video":
-        p50, times = bench_video(cfg, params)
-        print(json.dumps({"times_ms": [round(t, 1) for t in times]}),
-              file=sys.stderr)
-        print(json.dumps({
-            "metric": f"p50 per-frame latency video-QA {args.size} @{args.image_size}px (32 new tokens, KV prefix reuse)",
-            "value": round(p50, 2), "unit": "ms", "vs_baseline": 0.0,
-        }))
+        print(json.dumps(run_config(args.config, iters=args.iters,
+                                    dtype=args.dtype)))
         return 0
-    if mode == "decode_ctx":
-        results = {}
-        for ctx in (2048, 4096):
-            for variant in ("dense-xla", "paged-xla", "paged-xla-view",
-                            "dense-pallas", "paged-pallas"):
-                tps = bench_decode_ctx(cfg, params, args.batch, ctx,
-                                       variant=variant)
-                results[f"{variant}@{ctx}"] = round(tps, 1)
-                print(json.dumps({"ctx": ctx, "variant": variant,
-                                  "tok_s": round(tps, 1)}), file=sys.stderr)
-        # headline = the batcher's production path (chunk-view paged decode)
-        best = results["paged-xla-view@4096"]
+
+    if args.single:
+        cfg, params = make_model(args.size, args.image_size, args.dtype,
+                                 quantize_bits=args.quantize_bits)
+        p50, times, bucket = bench_ttft(cfg, params, args.batch, args.iters)
+        per_image = p50 / args.batch
         print(json.dumps({
-            "metric": f"decode throughput {args.size} b{args.batch} @4096ctx paged-xla-view (serving path)",
-            "value": best, "unit": "tok/s",
-            "vs_baseline": round(best / results["dense-xla@4096"], 3),
-        }))
-        return 0
-    if mode == "decode":
-        tps = bench_decode(cfg, params, args.batch)
-        print(json.dumps({
-            "metric": f"decode throughput {args.size} b{args.batch}",
-            "value": round(tps, 1), "unit": "tok/s", "vs_baseline": 0.0,
+            "metric": f"p50 TTFT FastVLM-{args.size} @{args.image_size}px b{args.batch} (encode+prefill)",
+            "value": round(p50, 2), "unit": "ms",
+            "vs_baseline": round(REFERENCE_TTFT_MS / per_image, 3),
         }))
         return 0
 
-    p50, times, bucket = bench_ttft(cfg, params, args.batch, args.iters)
+    # default: the full matrix; headline = 0.5B TTFT, all configs attached
+    import gc
 
+    configs = {}
+    for name in MATRIX:
+        try:
+            r = run_config(name, iters=args.iters, dtype=args.dtype)
+        except Exception as e:  # one failing config must not hide the rest
+            r = {"error": f"{type(e).__name__}: {e}"}
+        configs[name] = r
+        print(json.dumps({"config": name, **r}), file=sys.stderr)
+        gc.collect()  # drop the previous model's device arrays (7B int8)
+
+    head = configs.get("0.5b-caption", {})
     print(json.dumps({
-        "size": args.size, "image_size": args.image_size,
-        "batch": args.batch, "prompt_tokens": bucket,
-        "p50_ms": round(p50, 2),
-        "mean_ms": round(float(np.mean(times)), 2),
-        "min_ms": round(float(np.min(times)), 2),
-    }), file=sys.stderr)
-
-    # batched configs compare per-image time against the (b1) baseline point
-    per_image = p50 / args.batch
-    print(json.dumps({
-        "metric": f"p50 TTFT FastVLM-{args.size} @{args.image_size}px b{args.batch} (encode+prefill)",
-        "value": round(p50, 2),
-        "unit": "ms",
-        "vs_baseline": round(REFERENCE_TTFT_MS / per_image, 3),
+        "metric": head.get("metric", "p50 TTFT FastVLM-0.5b @1024px b1"),
+        "value": head.get("value"), "unit": head.get("unit", "ms"),
+        "vs_baseline": head.get("vs_baseline"),
+        "configs": {k: {kk: vv for kk, vv in v.items() if kk != "metric"}
+                    for k, v in configs.items()},
     }))
     return 0
 

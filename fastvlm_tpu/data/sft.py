@@ -10,12 +10,14 @@ Covers what the reference does in llava/train/train_qwen.py:
     for text-only samples in multimodal runs, error fallback to sample 0.
   * collator (:994-1026): pad ids/labels, stack images.
 
-Design difference: masking is *span-constructed* — each turn is tokenized
-separately and its label span assigned directly — instead of the reference's
-tokenize-everything-then-recount-round-lengths approach, which needs a
-mismatch guard (train_qwen.py:624-630). ChatML role markers are special
-tokens in the Qwen2 vocab, so per-span tokenization concatenates losslessly;
-a self-check in tests compares against whole-string tokenization.
+Design difference: masking is *span-constructed* via _SpanBuilder — each
+turn extends the accumulated string, the WHOLE string is re-tokenized, and
+the new suffix ids get the span's label. The final ids therefore equal the
+reference's tokenize-once-over-the-rendered-conversation result for every
+tokenizer (byte, Qwen2 BPE, sentencepiece/Llama with add_dummy_prefix),
+instead of the reference's recount-round-lengths approach that needs a
+mismatch guard (train_qwen.py:624-630). A BPE merge across a span boundary
+is detected exactly (prefix comparison) and the straddling token is masked.
 """
 
 from __future__ import annotations
@@ -41,21 +43,72 @@ QWEN_USER = "<|im_start|>user\n"
 QWEN_ASSISTANT = "<|im_start|>assistant\n"
 
 
-def _tok(tokenizer, text: str, *, first: bool = True) -> List[int]:
-    """Tokenize one span, routing <image> through the sentinel splicer.
-
-    The reference tokenizes whole conversations once, so a BOS-adding
-    tokenizer (Llama family) contributes exactly one BOS at sequence start.
-    Span-constructed masking must reproduce that: strip the leading BOS the
-    tokenizer injects on every call from all non-initial spans."""
+def _tok_full(tokenizer, text: str) -> List[int]:
+    """Tokenize a full rendered conversation, routing <image> through the
+    sentinel splicer (the reference tokenizes whole conversations the same
+    way, tokenizer_image_token over the rendered prompt)."""
     if DEFAULT_IMAGE_TOKEN in text:
-        ids = tokenizer_image_token(text, tokenizer)
-    else:
-        ids = list(tokenizer(text).input_ids)
-    bos = getattr(tokenizer, "bos_token_id", None)
-    if not first and bos is not None and ids and ids[0] == bos:
-        ids = ids[1:]
-    return ids
+        return list(tokenizer_image_token(text, tokenizer))
+    return list(tokenizer(text).input_ids)
+
+
+class _SpanBuilder:
+    """Incremental span tokenization that is exact-by-construction.
+
+    Each ``add(text, is_target)`` re-tokenizes the WHOLE accumulated string
+    and labels the new suffix ids, so the final ids always equal the
+    reference's tokenize-once-over-the-rendered-conversation result — for
+    every tokenizer, including sentencepiece/Llama-style BPEs whose
+    ``add_dummy_prefix`` whitespace semantics make naive per-span
+    tokenization drift (the class of bug the reference guards at
+    train_qwen.py:624-630 by zeroing mismatched samples).
+
+    If a BPE merge crosses a span boundary (the new span's first characters
+    merge into the previous span's last token), the previously-emitted ids
+    are re-aligned to the new tokenization and the straddling token is
+    labeled IGNORE_INDEX — conservative: no training signal on a token that
+    mixes instruction and answer bytes (the reference instead zeroes the
+    whole sample and warns)."""
+
+    def __init__(self, tokenizer):
+        self.tokenizer = tokenizer
+        self.text = ""
+        self.ids: List[int] = []
+        self.labels: List[int] = []
+        self.boundary_merges = 0
+
+    def add(self, text: str, is_target: bool) -> None:
+        self.text += text
+        full = _tok_full(self.tokenizer, self.text)
+        n = len(self.ids)
+        mask_first = False
+        if full[:n] != self.ids:
+            # merge across the span boundary: keep the agreeing prefix,
+            # relabel the re-tokenized remainder as part of this span with
+            # its straddling first token masked
+            common = 0
+            limit = min(len(full), n)
+            while common < limit and full[common] == self.ids[common]:
+                common += 1
+            del self.labels[common:]
+            n = common
+            mask_first = True
+            self.boundary_merges += 1
+            logger.warning(
+                "tokenization merge across span boundary at token %d; "
+                "masking the straddling token", common)
+        span = full[n:]
+        self.ids = full
+        lab = list(span) if is_target else [IGNORE_INDEX] * len(span)
+        if mask_first and lab:
+            lab[0] = IGNORE_INDEX
+        self.labels.extend(lab)
+
+    def result(self, max_len: Optional[int] = None):
+        ids, labels = self.ids, self.labels
+        if max_len is not None:
+            ids, labels = ids[:max_len], labels[:max_len]
+        return ids, labels
 
 
 def preprocess_qwen_2(
@@ -68,29 +121,19 @@ def preprocess_qwen_2(
 
     conversations: [{"from": "human"|"gpt", "value": str}, ...]
     """
-    ids: List[int] = []
-    labels: List[int] = []
-
-    def add(text: str, is_target: bool):
-        span = _tok(tokenizer, text, first=not ids)
-        ids.extend(span)
-        labels.extend(span if is_target else [IGNORE_INDEX] * len(span))
-
-    add(QWEN_SYSTEM + QWEN_SEP, False)
+    b = _SpanBuilder(tokenizer)
+    b.add(QWEN_SYSTEM + QWEN_SEP, False)
     for turn in conversations:
         who = turn["from"]
         msg = turn["value"]
         if who == "human":
-            add(QWEN_USER + msg + QWEN_SEP, False)
+            b.add(QWEN_USER + msg + QWEN_SEP, False)
         elif who == "gpt":
-            add(QWEN_ASSISTANT, False)
-            add(msg + QWEN_SEP, True)
+            b.add(QWEN_ASSISTANT, False)
+            b.add(msg + QWEN_SEP, True)
         else:  # system override or unknown: mask
-            add(msg, False)
-
-    if max_len is not None:
-        ids, labels = ids[:max_len], labels[:max_len]
-    return ids, labels
+            b.add(msg, False)
+    return b.result(max_len)
 
 
 def preprocess_plain(
@@ -100,13 +143,10 @@ def preprocess_plain(
     """Stage-1 pretraining pairs (reference train_qwen.py:284-310): the image
     sentinel alone as the prompt, the caption as the target."""
     assert len(conversations) == 2
-    source = DEFAULT_IMAGE_TOKEN
-    target = conversations[1]["value"] + "\n"
-    src_ids = _tok(tokenizer, source)
-    tgt_ids = _tok(tokenizer, target, first=False)
-    ids = src_ids + tgt_ids
-    labels = [IGNORE_INDEX] * len(src_ids) + tgt_ids
-    return ids, labels
+    b = _SpanBuilder(tokenizer)
+    b.add(DEFAULT_IMAGE_TOKEN, False)
+    b.add(conversations[1]["value"] + "\n", True)
+    return b.result()
 
 
 V1_SYSTEM = (
@@ -124,28 +164,20 @@ def preprocess_v1(
 ) -> Tuple[List[int], List[int]]:
     """Vicuna-v1 rounds (reference preprocess_v1, train_qwen.py:396-474):
     ``system USER: q ASSISTANT: a</s>`` with only the answers (+</s>) as
-    targets. Spans are tokenized at the "ASSISTANT:" boundary; BPE merges
-    across that boundary differ from whole-string tokenization by at most the
-    first answer token for some tokenizers — the reference has the same class
-    of issue and guards it (train_qwen.py:624-630)."""
-    ids: List[int] = []
-    labels: List[int] = []
-
-    def add(text: str, is_target: bool):
-        span = _tok(tokenizer, text, first=not ids)
-        ids.extend(span)
-        labels.extend(span if is_target else [IGNORE_INDEX] * len(span))
-
-    add(V1_SYSTEM + " ", False)
+    targets. _SpanBuilder re-tokenizes the whole accumulated string per
+    span, so the ids match whole-conversation tokenization exactly even for
+    sentencepiece BPEs; a merge across the "ASSISTANT:" boundary masks the
+    straddling token (vs the reference's zero-the-sample guard,
+    train_qwen.py:624-630)."""
+    b = _SpanBuilder(tokenizer)
+    b.add(V1_SYSTEM + " ", False)
     for turn in conversations:
         if turn["from"] == "human":
-            add("USER: " + turn["value"] + " ", False)
+            b.add("USER: " + turn["value"] + " ", False)
         else:
-            add("ASSISTANT:", False)
-            add(" " + turn["value"] + "</s>", True)
-    if max_len is not None:
-        ids, labels = ids[:max_len], labels[:max_len]
-    return ids, labels
+            b.add("ASSISTANT:", False)
+            b.add(" " + turn["value"] + "</s>", True)
+    return b.result(max_len)
 
 
 def preprocess_llama_2(
@@ -162,25 +194,16 @@ def preprocess_llama_2(
 
     sys_msg = system if system is not None else conv_llama_2.system
     wrap = f"<<SYS>>\n{sys_msg}\n<</SYS>>\n\n" if sys_msg else ""
-    ids: List[int] = []
-    labels: List[int] = []
-
-    def add(text: str, is_target: bool):
-        span = _tok(tokenizer, text, first=not ids)
-        ids.extend(span)
-        labels.extend(span if is_target else [IGNORE_INDEX] * len(span))
-
+    b = _SpanBuilder(tokenizer)
     first = True
     for turn in conversations:
         if turn["from"] == "human":
             q = (wrap if first else "") + turn["value"]
-            add(f"[INST] {q} [/INST]", False)
+            b.add(f"[INST] {q} [/INST]", False)
             first = False
         else:
-            add(f" {turn['value']} </s>", True)
-    if max_len is not None:
-        ids, labels = ids[:max_len], labels[:max_len]
-    return ids, labels
+            b.add(f" {turn['value']} </s>", True)
+    return b.result(max_len)
 
 
 def preprocess_mpt(
@@ -193,24 +216,15 @@ def preprocess_mpt(
     like qwen_2 but with the mpt system prompt and bare <|im_end|> separator."""
     system = "<|im_start|>system\nAnswer the questions."
     sep = "<|im_end|>"
-    ids: List[int] = []
-    labels: List[int] = []
-
-    def add(text: str, is_target: bool):
-        span = _tok(tokenizer, text, first=not ids)
-        ids.extend(span)
-        labels.extend(span if is_target else [IGNORE_INDEX] * len(span))
-
-    add(system + sep, False)
+    b = _SpanBuilder(tokenizer)
+    b.add(system + sep, False)
     for turn in conversations:
         if turn["from"] == "human":
-            add("<|im_start|>user\n" + turn["value"] + sep, False)
+            b.add("<|im_start|>user\n" + turn["value"] + sep, False)
         else:
-            add("<|im_start|>assistant\n", False)
-            add(turn["value"] + sep, True)
-    if max_len is not None:
-        ids, labels = ids[:max_len], labels[:max_len]
-    return ids, labels
+            b.add("<|im_start|>assistant\n", False)
+            b.add(turn["value"] + sep, True)
+    return b.result(max_len)
 
 
 PREPROCESSORS = {

@@ -91,6 +91,15 @@ class Engine:
         eos_ids: Optional[Tuple[int, ...]] = None,
     ):
         self.cfg = cfg
+        if isinstance(params, dict) and isinstance(
+                params.get("vision"), dict) and "stages" in params["vision"]:
+            # inference build: fold layer scales into the adjacent conv
+            # weights (exact; one fewer broadcast-multiply per residual).
+            # Import keeps ls leaves so HF re-export stays bit-exact.
+            from fastvlm_tpu.models.fastvit import fold_layer_scale
+
+            params = dict(params)
+            params["vision"] = fold_layer_scale(params["vision"])
         self.params = params
         self.tokenizer = tokenizer
         self.conv_mode = conv_mode

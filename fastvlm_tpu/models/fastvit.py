@@ -169,16 +169,23 @@ def _ffn(x, p):
 
 
 def _ffn_residual(x, p, ls, cfg: FastViTConfig):
-    """x + ls * ConvFFN(x), optionally via the fused Pallas kernel."""
+    """x + ls * ConvFFN(x), optionally via the fused Pallas kernel.
+
+    ls is None when the layer scale was folded into fc2 at import
+    (fold_layer_scale) — the residual is then a plain add."""
     c = x.shape[-1]
     if cfg.ffn_backend == "pallas":
         import jax as _jax
 
         from fastvlm_tpu.ops.pallas.ffn import ffn_block_apply
 
+        if ls is None:
+            ls = jnp.ones((x.shape[-1],), x.dtype)
         t = conv2d(x, p["dw"]["w"], p["dw"]["b"], groups=c)
         return ffn_block_apply(
             t, x, p, ls, interpret=_jax.default_backend() == "cpu")
+    if ls is None:
+        return x + _ffn(x, p)
     return x + ls.astype(x.dtype) * _ffn(x, p)
 
 
@@ -188,7 +195,7 @@ def _repmixer_block(x, p, cfg: FastViTConfig):
     then layer-scaled ConvFFN residual."""
     c = x.shape[-1]
     x = conv2d(x, p["mixer"]["w"], p["mixer"]["b"], groups=c)
-    return _ffn_residual(x, p["ffn"], p["ls"], cfg)
+    return _ffn_residual(x, p["ffn"], p.get("ls"), cfg)
 
 
 def _mhsa(x, p, head_dim: int):
@@ -224,8 +231,10 @@ def _attention_block(x, p, cfg: FastViTConfig):
     b, h, w, c = x.shape
     y = layer_norm(x, p["norm_scale"], p["norm_bias"], cfg.ln_eps)
     y = _mhsa(y.reshape(b, h * w, c), p, cfg.attn_head_dim).reshape(b, h, w, c)
-    x = x + p["ls1"].astype(x.dtype) * y
-    return _ffn_residual(x, p["ffn"], p["ls2"], cfg)
+    if "ls1" in p:  # absent when folded into proj (fold_layer_scale)
+        y = p["ls1"].astype(x.dtype) * y
+    x = x + y
+    return _ffn_residual(x, p["ffn"], p.get("ls2"), cfg)
 
 
 def _run_stage(x, stage: Params, mixer_type: str, cfg: FastViTConfig):
@@ -278,6 +287,57 @@ def apply(params: Params, x: jnp.ndarray, cfg: FastViTConfig) -> jnp.ndarray:
 
     b, h, w, c = x.shape
     return x.reshape(b, h * w, c)
+
+
+def fold_layer_scale(params: Params) -> Params:
+    """Fold per-channel layer scales into the adjacent projection weights
+    (exact: ls ⊙ (W h + b) == (ls ⊙ W) h + ls ⊙ b) and DROP the ls leaves,
+    deleting one broadcast-multiply per residual branch from the runtime
+    graph (VERDICT r2 #7; the reference applies layer_scale as a separate
+    tensor at mci.py:1042-1192 — at inference it is foldable).
+
+      * RepMixerBlock ls   -> ffn.fc2 (w, b)
+      * AttentionBlock ls1 -> proj (w, b);  ls2 -> ffn.fc2 (w, b)
+
+    Works on both the stacked (scan) layout and single-block dicts; pure
+    host math, applied at import/build time."""
+
+    def scale_into(p, ls):
+        # conv fc2 w: (L?, 1, 1, hidden, c); linear proj w: (L?, cin, c);
+        # ls: (L?, c) — insert middle 1-dims so ls broadcasts over cout only
+        w = p["w"]
+        mid = w.ndim - ls.ndim
+        ls_exp = ls.reshape(ls.shape[:-1] + (1,) * mid + (ls.shape[-1],))
+        out = dict(p)
+        out["w"] = (w.astype(jnp.float32)
+                    * ls_exp.astype(jnp.float32)).astype(w.dtype)
+        if "b" in p:
+            out["b"] = (p["b"].astype(jnp.float32)
+                        * ls.astype(jnp.float32)).astype(p["b"].dtype)
+        return out
+
+    out = dict(params)
+    stages = []
+    for stage in params["stages"]:
+        stage = dict(stage)
+        blocks = dict(stage["blocks"])
+        if "ls" in blocks:
+            ffn = dict(blocks["ffn"])
+            ffn["fc2"] = scale_into(ffn["fc2"], blocks["ls"])
+            blocks["ffn"] = ffn
+            del blocks["ls"]
+        if "ls1" in blocks:
+            blocks["proj"] = scale_into(blocks["proj"], blocks["ls1"])
+            del blocks["ls1"]
+        if "ls2" in blocks:
+            ffn = dict(blocks["ffn"])
+            ffn["fc2"] = scale_into(ffn["fc2"], blocks["ls2"])
+            blocks["ffn"] = ffn
+            del blocks["ls2"]
+        stage["blocks"] = blocks
+        stages.append(stage)
+    out["stages"] = stages
+    return out
 
 
 def features_grid(params: Params, x: jnp.ndarray, cfg: FastViTConfig) -> jnp.ndarray:

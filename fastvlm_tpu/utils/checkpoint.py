@@ -212,6 +212,9 @@ def convert_vision(sd: StateDict, cfg: FastViTConfig, dtype=jnp.float32,
         "expand_b": _vec(sd, g("conv_exp.se.expand.bias"), dtype),
     }
 
+    # NOTE: ls/ls1/ls2 are imported verbatim (NOT folded) so utils/hf_export
+    # can reconstruct the original state dict bit-exactly; the Engine folds
+    # them at build time (fastvit.fold_layer_scale) for the runtime graph.
     return {"stem": stem, "stages": stages, "conv_exp": conv_exp}
 
 

@@ -158,3 +158,24 @@ def test_pallas_ffn_backend_matches_xla():
     a = _np(fastvit.apply(params, x, cfg_x))
     b = _np(fastvit.apply(params, x, cfg_p))
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_fold_layer_scale_exact_and_removes_leaves():
+    """fold_layer_scale must be numerically exact (ls ⊙ (Wh+b) ==
+    (ls⊙W)h + ls⊙b) and strip every ls leaf from the runtime tree."""
+    cfg = tiny_cfg(layers=(1, 2, 1, 1, 1))
+    params = fastvit.init(jax.random.PRNGKey(0), cfg)
+    # non-trivial layer scales so the fold is actually exercised
+    for st in params["stages"]:
+        for k in ("ls", "ls1", "ls2"):
+            if k in st["blocks"]:
+                st["blocks"][k] = st["blocks"][k] + jnp.linspace(
+                    0.5, 2.0, st["blocks"][k].shape[-1])
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 128, 128, 3))
+    ref = fastvit.apply(params, x, cfg)
+    folded = fastvit.fold_layer_scale(params)
+    got = fastvit.apply(folded, x, cfg)
+    np.testing.assert_allclose(_np(got), _np(ref), atol=1e-5)
+    paths = ["/".join(str(p) for p in path) for path, _ in
+             jax.tree_util.tree_leaves_with_path(folded)]
+    assert not any("'ls'" in p or "ls1" in p or "ls2" in p for p in paths)
