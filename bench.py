@@ -252,12 +252,14 @@ def bench_decode_ctx(cfg, params, batch: int, ctx: int, steps: int = 64,
 
 
 def bench_video(cfg, params, frames: int = 8):
-    """Per-frame latency of the streaming video-QA loop (KV prefix reuse)."""
+    """Per-frame latency of the streaming video-QA loop (KV prefix reuse):
+    sequential ask() p50 AND the double-buffered pipeline's steady-state
+    per-frame wall time (dispatch N+1 before fetching N)."""
     import numpy as np
 
     from fastvlm_tpu.data.preprocessing import ByteTokenizer
     from fastvlm_tpu.engine import Engine
-    from fastvlm_tpu.video import VideoQA
+    from fastvlm_tpu.video import VideoQA, qa_over_stream
 
     tok = ByteTokenizer()
     engine = Engine(cfg, params, tok, eos_ids=(tok.eos_token_id,), chunk=16)
@@ -270,7 +272,12 @@ def bench_video(cfg, params, frames: int = 8):
         t0 = time.perf_counter()
         _, stats = vq.ask(frame)
         times.append((time.perf_counter() - t0) * 1000)
-    return float(np.percentile(times, 50)), times
+    list(qa_over_stream(vq, [frame] * 2, latest_only=False, pipelined=True))
+    t0 = time.perf_counter()
+    list(qa_over_stream(vq, [frame] * frames, latest_only=False,
+                        pipelined=True))
+    pipelined_ms = (time.perf_counter() - t0) / frames * 1000
+    return float(np.percentile(times, 50)), times, pipelined_ms
 
 
 # The five BASELINE.json configs (SURVEY.md §6 north-star)
@@ -307,13 +314,15 @@ def run_config(name: str, *, iters: int = 40, dtype: str = "bfloat16",
                              quantize_bits=c.get("quantize_bits"),
                              act_quant=c.get("act_quant", False))
     if mode == "video":
-        p50, times = bench_video(cfg, params)
+        p50, times, pipelined_ms = bench_video(cfg, params)
         print(json.dumps({"config": name,
-                          "times_ms": [round(t, 1) for t in times]}),
+                          "times_ms": [round(t, 1) for t in times],
+                          "pipelined_ms": round(pipelined_ms, 1)}),
               file=sys.stderr)
         return {
             "metric": f"p50 per-frame latency video-QA {size} @{image_size}px (32 new tokens, KV prefix reuse)",
             "value": round(p50, 2), "unit": "ms", "vs_baseline": 0.0,
+            "pipelined_ms": round(pipelined_ms, 1),
         }
     if mode == "decode_ctx":
         results = {}

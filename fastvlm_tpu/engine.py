@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import logging
 import time
 from typing import Any, Dict, Iterator, List, Optional, Sequence, Tuple
 
@@ -30,6 +31,9 @@ from fastvlm_tpu.models import vlm
 from fastvlm_tpu.ops.kv_cache import init_cache
 from fastvlm_tpu.ops.sampling import SamplingParams
 from fastvlm_tpu.ops.splice import expand_image_ids, pad_batch
+
+
+logger = logging.getLogger(__name__)
 
 
 def _sync(x):
@@ -132,19 +136,31 @@ class Engine:
         return conv.get_prompt()
 
     def prepare_array_image(self, image) -> jnp.ndarray:
-        """(H, W, 3) / (B, H, W, 3) uint8 [0,255] or float array ([0,1], or
-        [0,255] numpy floats — detected host-side) -> (B, S, S, 3)
-        model-dtype images. Non-native sizes are resized/padded on device
+        """(H, W, 3) / (B, H, W, 3) uint8 [0,255] or float array -> (B, S, S,
+        3) model-dtype images. Non-native sizes are resized/padded on device
         (ops/image_ops.preprocess) so the tower always emits
         cfg.num_image_tokens tokens — raw camera frames of any size are fine
-        (ADVICE r1: arrays must not bypass preprocessing)."""
-        # float arrays commonly arrive in [0,255] (np.asarray(pil_img)); a
-        # host-side peek on the numpy input decides the /255 rescale as a
-        # STATIC jit arg (values are dynamic under jit, dtypes aren't)
+        (ADVICE r1: arrays must not bypass preprocessing).
+
+        Float-range contract (ADVICE r2): float inputs are treated as [0,1].
+        As a convenience, float NUMPY arrays whose max exceeds 1.5 are
+        assumed [0,255] (np.asarray(pil_img).astype(float) is common) and
+        rescaled, with a one-time warning — a genuinely dark [0,255] float
+        frame (max <= 1.5) is indistinguishable from [0,1] data and is NOT
+        rescaled; pass uint8 or prescale to [0,1] to avoid the heuristic.
+        Non-numpy float inputs (jnp arrays, lists) are never range-guessed."""
+        # the host-side peek decides the /255 rescale as a STATIC jit arg
+        # (values are dynamic under jit, dtypes aren't)
         scale255 = False
         if isinstance(image, np.ndarray) and image.dtype.kind == "f" \
                 and image.size and float(image.max()) > 1.5:
             scale255 = True
+            if not getattr(self, "_warned_float255", False):
+                self._warned_float255 = True
+                logger.warning(
+                    "float image with max > 1.5: assuming [0,255] and "
+                    "rescaling by 1/255 (pass uint8 or [0,1] floats to "
+                    "silence; dark [0,255] float frames are NOT detectable)")
         arr = jnp.asarray(image)  # async host->device upload
         if arr.ndim == 3:
             arr = arr[None]

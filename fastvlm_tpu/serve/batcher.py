@@ -214,10 +214,12 @@ class BatchScheduler:
         return cache, row_pages, tables
 
     def _grow_pages(self, cache, tables, row_pages, lens_host, finished,
-                    n_real, chunk_idx, k):
+                    n_real, chunk_idx, k, reasons=None):
         """Chunk-boundary page accounting: free finished rows' pages, map
         pages covering the next k tokens of each active row. Exhaustion
-        truncates the row (finishes it) rather than stalling the batch."""
+        truncates the row (finishes it) rather than stalling the batch;
+        ``reasons[i]`` records "truncated" so the client can tell a cut
+        answer from a complete one (ADVICE r2)."""
         import jax.numpy as jnp
 
         page = self.page_size
@@ -243,6 +245,8 @@ class BatchScheduler:
                     "page pool exhausted (%d rows in flight); truncating row %d",
                     sum(not f for f in finished[:n_real]), i)
                 finished[i] = True
+                if reasons is not None:
+                    reasons[i] = "truncated"
                 self.pool.release(row_pages[i])
                 row_pages[i] = []
                 tables[i, :] = -1
@@ -339,6 +343,10 @@ class BatchScheduler:
             host_tok = np.asarray(tok)
             texts: List[List[int]] = [[] for _ in range(b)]
             finished = [i >= n_real for i in range(b)]
+            # per-row finish reason: None while streaming, then "stop" (eos/
+            # stop string), "length" (max_new cap), or "truncated" (pool
+            # exhaustion — distinguishes a cut answer from a complete one)
+            reasons: List[Optional[str]] = [None] * b
             caps = [batch[i].max_new_tokens if i < n_real else 0
                     for i in range(b)]
             emitted = [1] * b
@@ -351,10 +359,12 @@ class BatchScheduler:
                         if ss and ss in text:
                             text = text.split(ss)[0]
                             finished[i] = True
+                            reasons[i] = reasons[i] or "stop"
                     r.out.put({"text": text,
                                "stats": {"ttft_ms": round(ttft_ms, 2),
                                          "decode_tokens": len(texts[i]),
-                                         "batch_size": n_real}})
+                                         "batch_size": n_real,
+                                         "finish_reason": reasons[i]}})
 
             for i in range(b):
                 t = int(host_tok[i])
@@ -362,6 +372,7 @@ class BatchScheduler:
                     texts[i].append(t)
                 elif i < n_real:
                     finished[i] = True
+                    reasons[i] = "stop"
             push_updates()
 
             done = jnp.asarray(
@@ -373,7 +384,7 @@ class BatchScheduler:
                 if tables is not None:
                     cache = self._grow_pages(cache, tables, row_pages,
                                              lens_host, finished, n_real,
-                                             chunk_idx, k)
+                                             chunk_idx, k, reasons)
                 if tables is not None and self.chunk_view:
                     # bucket the chunk's dense view to the longest active
                     # row + k (device lengths advance k per chunk per row)
@@ -403,14 +414,23 @@ class BatchScheduler:
                         # Qwen2 token, '!')
                         if t in engine.eos_ids or emitted[i] >= caps[i]:
                             finished[i] = True
+                            reasons[i] = reasons[i] or (
+                                "stop" if t in engine.eos_ids else "length")
                             break
                         texts[i].append(t)
                         emitted[i] += 1
-                push_updates()
                 host_done = np.asarray(done)
                 for i in range(n_real):
-                    if host_done[i]:
+                    if host_done[i] and not finished[i]:
                         finished[i] = True
+                        reasons[i] = reasons[i] or "stop"
+                push_updates()
+            # final update carries the definitive finish_reason for rows that
+            # ran out the chunk loop at the cap
+            for i in range(n_real):
+                if reasons[i] is None:
+                    reasons[i] = "length" if emitted[i] >= caps[i] else "stop"
+            push_updates()
             batch_ok = True
         finally:
             if tables is not None:

@@ -60,6 +60,15 @@ class ModelWorker:
             else limit_concurrency)
         self.queue_length = 0
         self.scheduler = None
+        # stream-pumping threads: asyncio's DEFAULT executor is
+        # min(32, cpus+4) workers — 5 on a 1-core host — which silently caps
+        # concurrent generate streams (the batcher would never see a full
+        # batch). Size our own pool to the admission limit instead.
+        from concurrent.futures import ThreadPoolExecutor
+
+        self.executor = ThreadPoolExecutor(
+            max_workers=self.semaphore._value,
+            thread_name_prefix="fastvlm-stream")
         if continuous_batching and engine is not None:
             from fastvlm_tpu.serve.batcher import BatchScheduler
 
@@ -221,7 +230,7 @@ def build_app(worker: ModelWorker) -> web.Application:
                 loop = asyncio.get_event_loop()
                 gen = worker.generate_stream(payload)
                 while True:
-                    piece = await loop.run_in_executor(None, next, gen, None)
+                    piece = await loop.run_in_executor(worker.executor, next, gen, None)
                     if piece is None:
                         break
                     await resp.write(piece)
@@ -255,7 +264,7 @@ def build_app(worker: ModelWorker) -> web.Application:
                 if not stream:
                     last = {"text": "", "error_code": 0}
                     while True:
-                        piece = await loop.run_in_executor(None, next, gen, None)
+                        piece = await loop.run_in_executor(worker.executor, next, gen, None)
                         if piece is None:
                             break
                         for msg in _iter_json_chunks(piece):
@@ -276,7 +285,7 @@ def build_app(worker: ModelWorker) -> web.Application:
                 await resp.prepare(request)
                 sent = 0
                 while True:
-                    piece = await loop.run_in_executor(None, next, gen, None)
+                    piece = await loop.run_in_executor(worker.executor, next, gen, None)
                     if piece is None:
                         break
                     for msg in _iter_json_chunks(piece):

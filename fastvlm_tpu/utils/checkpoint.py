@@ -387,6 +387,9 @@ def audit_key_map(sd: StateDict, cfg: FastVLMConfig) -> Dict[str, Any]:
     from fastvlm_tpu.utils.reparam import fuse_reparam_branches, needs_fusion
 
     fused_branches = False
+    file_total = len(sd)  # keys in the ACTUAL checkpoint file (ADVICE r2:
+    #                       used/total must not silently refer to the fused
+    #                       dict when train-mode branches were folded)
     if needs_fusion(sd):
         # Pre-fuse train-mode branches HERE so the recording wrapper sees
         # the converter's reads. (convert_vision would otherwise rebind sd
@@ -404,9 +407,17 @@ def audit_key_map(sd: StateDict, cfg: FastVLMConfig) -> Dict[str, Any]:
         ignorable.add("lm_head.weight")
     unused = [k for k in sd if k not in rec.used and k not in ignorable
               and not any(k.endswith(s) for s in _IGNORABLE_SUFFIXES)]
-    return {"params": params, "unused_keys": sorted(unused),
-            "used": len(rec.used), "total": len(sd),
-            "fused_train_branches": fused_branches}
+    report = {"params": params, "unused_keys": sorted(unused),
+              "used": len(rec.used), "total": len(sd),
+              "fused_train_branches": fused_branches}
+    if fused_branches:
+        # used/total count the POST-fusion dict; record the original file's
+        # key count and the net keys folded away by branch fusion (branch
+        # keys consumed minus fused keys produced) so a failed audit can be
+        # diagnosed against the real file
+        report["file_keys_total"] = file_total
+        report["keys_folded_by_fusion"] = file_total - len(sd)
+    return report
 
 
 def verify_checkpoint(checkpoint_dir: str,

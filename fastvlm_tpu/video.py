@@ -126,6 +126,7 @@ class VideoQA:
         key = self._key
         chunks = []
         emitted = 1
+        mid_checked = False
         # first token already EOS (known on host): dispatch nothing
         while out and emitted < self.max_new_tokens:
             k = min(engine.chunk, self.max_new_tokens - emitted)
@@ -134,6 +135,16 @@ class VideoQA:
                 eos_ids=engine.eos_ids, sampling=self.sampling)
             chunks.append(toks)
             emitted += k
+            # Large budgets: ONE extra sync at the halfway point bounds
+            # wasted post-EOS decode to ~half the budget (ADVICE r2). Small
+            # budgets keep the strict 2-sync discipline — a ~30 ms tunnel
+            # RTT only pays for itself when it can save > ~14 tokens of
+            # decode (docs/PERF.md RTT/token costs).
+            if (self.max_new_tokens > 64 and not mid_checked
+                    and emitted * 2 >= self.max_new_tokens):
+                mid_checked = True
+                if bool(_sync(done)[0]):
+                    break
         self._key = key
         if chunks and out:  # skip decode fetch if the first token was EOS
             # concat on device: ONE host fetch regardless of chunk count
@@ -151,14 +162,92 @@ class VideoQA:
                       "tokens": len(out)}
 
 
+    # ------------- double-buffered pipeline (VERDICT r2 #10) -------------
+    #
+    # ask() pays 2 blocking tunnel round-trips per frame while the device
+    # sits idle-from-the-host's-view. The split below lets the stream driver
+    # DISPATCH frame N+1's encode+prefill+decode (async, queues behind frame
+    # N's work on device) BEFORE fetching frame N's tokens, so the fetch
+    # RTTs overlap frame N+1's device execution — per-frame wall time
+    # approaches pure device work (mirrors the camera AsyncStream pipelining,
+    # app/ContentView.swift:362-414).
+
+    def dispatch(self, frame) -> Dict[str, Any]:
+        """Queue the whole frame computation; NO host syncs. The first-token
+        EOS decision moves on-device (decode_chunk's done mask)."""
+        engine = self.engine
+        cfg = self.cfg
+        if hasattr(frame, "convert"):
+            from fastvlm_tpu.data.preprocessing import process_images
+
+            images = jnp.asarray(
+                process_images([frame], engine.processor, cfg), self._dtype)
+        else:
+            images = engine.prepare_array_image(frame)
+        t0 = time.perf_counter()
+        tok, cache, self._key = self._suffix_prefill(
+            engine.params, images, self.suffix_ids, self.suffix_lens,
+            self.suffix_starts, self.prefix_len, self.cache, self._key,
+            self.sampling)
+        done = jnp.isin(tok, jnp.asarray(engine.eos_ids, jnp.int32))
+        key = self._key
+        chunks = []
+        emitted = 1
+        while emitted < self.max_new_tokens:
+            k = min(engine.chunk, self.max_new_tokens - emitted)
+            toks, done, tok, cache, key = vlm.decode_chunk(
+                engine.params, cfg, tok, done, cache, key, k=k,
+                eos_ids=engine.eos_ids, sampling=self.sampling)
+            chunks.append(toks)
+            emitted += k
+        self._key = key
+        self.cache = cache
+        return {"t0": t0, "first": tok, "chunks": chunks}
+
+    def finish(self, state: Dict[str, Any]) -> Tuple[str, Dict[str, Any]]:
+        """Fetch a dispatched frame's tokens (the 2 syncs). ttft_ms here is
+        time-to-first-token-AVAILABLE: in pipelined use the fetch may run
+        after later frames were dispatched, so it includes queueing."""
+        engine = self.engine
+        first = int(_sync(state["first"])[0])
+        ttft_ms = (time.perf_counter() - state["t0"]) * 1000
+        out = [] if first in engine.eos_ids else [first]
+        if out and state["chunks"]:
+            host = _sync(jnp.concatenate(state["chunks"], axis=1))[0]
+            for tk in host:
+                tk = int(tk)
+                if tk in engine.eos_ids:
+                    break
+                out.append(tk)
+        text = engine.tokenizer.decode(out, skip_special_tokens=True).strip()
+        total_ms = (time.perf_counter() - state["t0"]) * 1000
+        return text, {"ttft_ms": round(ttft_ms, 2),
+                      "total_ms": round(total_ms, 2),
+                      "tokens": len(out)}
+
+
 def qa_over_stream(
     video_qa: VideoQA,
     frames: Iterable,
     latest_only: bool = True,
+    pipelined: bool = False,
 ) -> Iterator[Tuple[str, Dict[str, Any]]]:
     """Drive VideoQA over a frame iterable. With latest_only, frames arriving
     while a generation is in flight are dropped except the newest (the app's
-    bufferingNewest(1) backpressure)."""
+    bufferingNewest(1) backpressure). With pipelined, frame N+1 is fully
+    dispatched before frame N's results are fetched (double buffering): the
+    fetch round-trips overlap the next frame's device work."""
+    if pipelined:
+        it = iter(frames)
+        prev = None
+        for frame in it:
+            state = video_qa.dispatch(frame)
+            if prev is not None:
+                yield video_qa.finish(prev)
+            prev = state
+        if prev is not None:
+            yield video_qa.finish(prev)
+        return
     it = iter(frames)
     pending = None
     while True:

@@ -167,3 +167,74 @@ def test_openai_compatible_endpoint():
             await client.close()
 
     assert asyncio.run(run())
+
+
+def test_soak_32_concurrent_mixed_requests_paged_pool():
+    """Soak (VERDICT r2 #9): 32 concurrent mixed-length requests through the
+    worker HTTP app + batcher + paged pool, with a pool small enough to hit
+    exhaustion-truncation mid-run. Every stream must terminate cleanly, every
+    output must be a prefix of (usually equal to) the serial engine result,
+    and the pool must return to fully free afterwards."""
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from fastvlm_tpu.engine import build_engine
+    from fastvlm_tpu.serve.worker import ModelWorker, build_app
+
+    engine = build_engine(random_tiny=True)
+    prompts = [f"describe item {i}" for i in range(8)]
+    # pool sized so 8 concurrent prompts JUST fit but 128-token decodes
+    # exhaust it: exhaustion truncation must fire and recover
+    page = 8
+    ln = int(np.asarray(engine.prepare(
+        engine.build_prompt(prompts[0]), None)["lens"])[0])
+    pool_pages = 8 * (-(-ln // page)) + 10
+    worker = ModelWorker(engine, "tiny", continuous_batching=True,
+                         page_size=page, pool_tokens=pool_pages * page)
+    app = build_app(worker)
+    plans = [(prompts[i % 8], (16, 64, 128)[i % 3]) for i in range(32)]
+    serial = {}
+    for p, mx in sorted(set(plans)):
+        serial[(p, mx)] = engine.chat(p, max_new_tokens=mx)[0]
+
+    async def one(client, p, mx):
+        resp = await client.post("/worker_generate_stream", json={
+            "prompt": engine.build_prompt(p),
+            "temperature": 0.0,
+            "max_new_tokens": mx,
+        })
+        raw = await resp.read()
+        return list(iter_chunks([raw]))
+
+    async def run():
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            return await asyncio.gather(
+                *[one(client, p, mx) for p, mx in plans])
+        finally:
+            await client.close()
+
+    results = asyncio.run(run())
+    assert len(results) == 32
+    truncated = 0
+    for (p, mx), msgs in zip(plans, results):
+        assert msgs, f"no chunks for {p!r}"
+        assert all(m["error_code"] == ErrorCode.OK for m in msgs), msgs[-1]
+        text = msgs[-1]["text"]
+        want = serial[(p, mx)]
+        # exhaustion may truncate, but output must be a prefix of serial
+        assert want.startswith(text), (p, mx, text, want)
+        reason = msgs[-1]["stats"].get("finish_reason")
+        assert reason in ("stop", "length", "truncated"), msgs[-1]
+        if reason == "truncated":
+            truncated += 1
+        else:
+            assert text == want, (p, mx, reason, text, want)
+    # pool must be fully returned after the storm
+    sched = worker.scheduler
+    assert sched.pool.free_pages == sched.pool.num_pages
+    # the pool was actually driven into its bottom region (exhaustion or
+    # near-exhaustion), proving truncation/recovery was exercised
+    assert sched.pool.min_free <= pool_pages // 6, \
+        f"pool never stressed (min_free={sched.pool.min_free}/{pool_pages})"
+    sched.shutdown()

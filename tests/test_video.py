@@ -109,3 +109,19 @@ def test_engine_prepare_array_image_shapes():
         out = engine.prepare_array_image(arr)
         b = shape[0] if len(shape) == 4 else 1
         assert out.shape == (b, s, s, 3), (shape, out.shape)
+
+
+def test_pipelined_stream_matches_sequential():
+    """Double-buffered dispatch/finish must yield the same answers as the
+    sequential ask() loop (greedy, same frames)."""
+    engine = build_engine(random_tiny=True)
+    frames = [np.random.RandomState(s).rand(256, 256, 3).astype(np.float32)
+              for s in (0, 1, 2)]
+
+    vq_a = VideoQA(engine, "What do you see?", max_new_tokens=6)
+    seq = [vq_a.ask(f)[0] for f in frames]
+
+    vq_b = VideoQA(engine, "What do you see?", max_new_tokens=6)
+    piped = [t for t, _ in qa_over_stream(vq_b, frames, latest_only=False,
+                                          pipelined=True)]
+    assert piped == seq, (piped, seq)
