@@ -22,6 +22,7 @@ class SeparatorStyle(Enum):
     V1 = auto()  # "two" in the reference (vicuna_v1)
     LLAMA_2 = auto()
     MPT = auto()
+    SINGLE = auto()  # vicuna_v0 legacy "### Role: msg" style
 
 
 @dataclasses.dataclass
@@ -75,6 +76,16 @@ class Conversation:
             for i, (role, message) in enumerate(self.messages):
                 if message:
                     ret += role + ": " + message + seps[i % 2]
+                else:
+                    ret += role + ":"
+            return ret
+        if s == SeparatorStyle.SINGLE:
+            # legacy vicuna_v0 (reference conversation.py:47-55):
+            # system<sep>Role: msg<sep>…; open turn renders "Role:"
+            ret = self.system + self.sep
+            for role, message in self.messages:
+                if message:
+                    ret += role + ": " + message + self.sep
                 else:
                     ret += role + ":"
             return ret
@@ -158,9 +169,23 @@ conv_llama_2 = Conversation(
     version="llama_v2",
 )
 
+conv_vicuna_v0 = Conversation(
+    system=(
+        "A chat between a curious human and an artificial intelligence assistant. "
+        "The assistant gives helpful, detailed, and polite answers to the human's questions."
+    ),
+    roles=("Human", "Assistant"),
+    messages=[],
+    sep_style=SeparatorStyle.SINGLE,
+    sep="###",
+    version="v0",
+)
+
 conv_templates = {
     "qwen_2": conv_qwen_2,
     "plain": conv_plain,
+    "v0": conv_vicuna_v0,
+    "vicuna_v0": conv_vicuna_v0,
     "v1": conv_v1,
     "vicuna_v1": conv_v1,
     "chatml_direct": conv_chatml_direct,

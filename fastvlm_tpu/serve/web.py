@@ -38,7 +38,11 @@ PAGE = """<!doctype html>
 <p><input type="file" id="image" accept="image/*"> <img id="preview" class="preview"/></p>
 <div id="log"></div>
 <p><textarea id="prompt" placeholder="Ask about the image..."></textarea>
-<button id="send">Send</button> <span id="stats" class="meta"></span></p>
+<button id="send">Send</button>
+<button id="upvote" title="upvote">&#128077;</button>
+<button id="downvote" title="downvote">&#128078;</button>
+<button id="flag" title="flag">&#9872;</button>
+<span id="stats" class="meta"></span></p>
 <script>
 async function refreshModels(){
   const r = await fetch('/api/models'); const j = await r.json();
@@ -75,11 +79,23 @@ document.getElementById('send').onclick = async () => {
     buf = parts.pop();
     for(const p of parts){ if(!p) continue; const j = JSON.parse(p);
       div.textContent = 'ASSISTANT: ' + j.text;
+      lastExchange = {prompt, response: j.text,
+        model: document.getElementById('model').value};
       if(j.stats) document.getElementById('stats').textContent =
         'TTFT '+j.stats.ttft_ms+'ms · '+j.stats.tok_per_s+' tok/s';
     }
   }
 };
+let lastExchange = null;
+for(const t of ['upvote','downvote','flag']){
+  document.getElementById(t).onclick = async () => {
+    if(!lastExchange) return;
+    await fetch('/api/vote', {method:'POST',
+      headers:{'Content-Type':'application/json'},
+      body: JSON.stringify({type:t, ...lastExchange})});
+    document.getElementById('stats').textContent = t + ' recorded';
+  };
+}
 </script></body></html>"""
 
 
@@ -95,6 +111,15 @@ class WebServer:
     def log_conversation(self, record: dict) -> None:
         with open(self._log_file(), "a") as f:
             f.write(json.dumps(record) + "\n")
+
+    def log_vote(self, vote_type: str, record: dict) -> None:
+        """Vote logging (reference gradio_web_server.py:82-112: upvote/
+        downvote/flag appended to the dated log with the conversation
+        state)."""
+        entry = {"tstamp": round(time.time(), 4), "type": vote_type}
+        entry.update(record)
+        with open(self._log_file(), "a") as f:
+            f.write(json.dumps(entry) + "\n")
 
     def build_app(self) -> web.Application:
         routes = web.RouteTableDef()
@@ -152,6 +177,22 @@ class WebServer:
                     "prompt": data.get("prompt", ""),
                     "had_image": bool(data.get("images"))})
                 return resp
+
+        @routes.post("/api/vote")
+        async def vote(request):
+            """{"type": "upvote"|"downvote"|"flag", "model", "prompt",
+            "response"} -> appended to the dated log (reference
+            gradio_web_server.py upvote/downvote/flag buttons)."""
+            data = await request.json()
+            vtype = data.get("type", "")
+            if vtype not in ("upvote", "downvote", "flag"):
+                return web.json_response({"error": "bad vote type"},
+                                         status=400)
+            self.log_vote(vtype, {
+                "model": data.get("model", ""),
+                "prompt": data.get("prompt", ""),
+                "response": data.get("response", "")})
+            return web.json_response({"ok": True})
 
         app = web.Application(client_max_size=64 * 1024 * 1024)
         app.add_routes(routes)

@@ -238,3 +238,34 @@ def test_soak_32_concurrent_mixed_requests_paged_pool():
     assert sched.pool.min_free <= pool_pages // 6, \
         f"pool never stressed (min_free={sched.pool.min_free}/{pool_pages})"
     sched.shutdown()
+
+
+def test_web_vote_logging(tmp_path):
+    """/api/vote appends upvote/downvote/flag records to the dated conv log
+    (reference gradio_web_server.py:82-112); bad types are rejected."""
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from fastvlm_tpu.serve.web import WebServer
+
+    ws = WebServer("http://localhost:9", log_dir=str(tmp_path))
+    app = ws.build_app()
+
+    async def run():
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            r1 = await client.post("/api/vote", json={
+                "type": "upvote", "model": "m", "prompt": "p",
+                "response": "r"})
+            r2 = await client.post("/api/vote", json={"type": "nonsense"})
+            return r1.status, r2.status
+        finally:
+            await client.close()
+
+    s1, s2 = asyncio.run(run())
+    assert s1 == 200 and s2 == 400
+    logs = list(tmp_path.glob("*-conv.json"))
+    assert len(logs) == 1
+    rec = json.loads(logs[0].read_text().splitlines()[0])
+    assert rec["type"] == "upvote" and rec["response"] == "r"
+    assert "tstamp" in rec

@@ -235,3 +235,19 @@ def test_bos_tokenizer_spans_match_whole_string():
     conv.append_message(conv.roles[1], "world")
     whole = tokenizer_image_token(conv.get_prompt(), tok)
     assert ids == whole
+
+
+def test_single_separator_style_vicuna_v0():
+    """SINGLE style (reference conversation.py:47-55, conv_vicuna_v0):
+    system<sep>Role: msg<sep>…; the open assistant turn renders 'Role:'."""
+    from fastvlm_tpu.data.conversation import conv_templates
+
+    conv = conv_templates["vicuna_v0"].copy()
+    conv.append_message(conv.roles[0], "hello")
+    conv.append_message(conv.roles[1], None)
+    got = conv.get_prompt()
+    assert got == conv.system + "###Human: hello###Assistant:"
+    conv.messages[-1][1] = "hi there"
+    assert conv.get_prompt() == (
+        conv.system + "###Human: hello###Assistant: hi there###")
+    assert conv_templates["v0"] is conv_templates["vicuna_v0"]
