@@ -218,6 +218,18 @@ def bench_decode_ctx(cfg, params, batch: int, ctx: int, steps: int = 64,
             k_pages=jax.random.normal(key, cache.k_pages.shape, dtype) * 0.1,
             v_pages=jax.random.normal(key, cache.v_pages.shape, dtype) * 0.1,
             block_tables=jnp.asarray(tables), lengths=lengths)
+    elif variant == "dense-xla-kv8":
+        # int8 KV cache (per-token-head scales): halves the KV bandwidth
+        # that bounds long-context decode (ops/kv_cache.py, round 3)
+        cache = init_cache(dec.num_layers, batch, max_len, dec.num_kv_heads,
+                           dec.head_dim, jnp.int8)
+        r = np.random.RandomState(0)
+        cache = cache._replace(
+            k=jnp.asarray(r.randint(-127, 128, cache.k.shape, np.int8)),
+            v=jnp.asarray(r.randint(-127, 128, cache.v.shape, np.int8)),
+            k_scale=jnp.full(cache.k_scale.shape, 0.1 / 127, jnp.float32),
+            v_scale=jnp.full(cache.v_scale.shape, 0.1 / 127, jnp.float32),
+            lengths=lengths)
     else:
         cache = init_cache(dec.num_layers, batch, max_len, dec.num_kv_heads,
                            dec.head_dim, dtype)

@@ -141,6 +141,13 @@ class Qwen2Config:
     # paged caches). Pallas targets long-context serving; it falls back to
     # XLA for ALiBi / sliding-window decoders (bias/window unsupported).
     attn_backend: str = "xla"
+    # KV cache storage: None = compute dtype; "int8" stores the cache
+    # quantized with per-token-head scales (ops/kv_cache.py). Halves KV
+    # bandwidth and wins 1.45x on an isolated attention scan, but on the
+    # CURRENT virtualized chip the full decode step regresses (int8
+    # operands feeding decode dots don't fuse — docs/PERF.md) — opt-in for
+    # platforms where the convert fuses. Dense-cache paths only.
+    kv_cache_dtype: Optional[str] = None
     # layer-scan unroll factor for the cached (decode/prefill) path.
     # Experimental layout knob: measured results per platform in
     # docs/PERF.md (on the current chip it does NOT fix the int8-decode

@@ -124,6 +124,9 @@ class Engine:
                 eos_ids = (QWEN_IM_END_ID,)
         self.eos_ids = eos_ids
         self._dtype = resolve_dtype(cfg.decoder.compute_dtype)
+        # KV cache storage dtype (int8 = quantized cache, ops/kv_cache.py)
+        self._kv_dtype = (jnp.int8 if cfg.decoder.kv_cache_dtype == "int8"
+                          else self._dtype)
 
     # ---------------- prompt/image preparation ----------------
 
@@ -346,7 +349,7 @@ class Engine:
 
         cache = init_cache(
             cfg.decoder.num_layers, b, t + max_new,
-            cfg.decoder.num_kv_heads, cfg.decoder.head_dim, self._dtype)
+            cfg.decoder.num_kv_heads, cfg.decoder.head_dim, self._kv_dtype)
 
         key = jax.random.PRNGKey(seed if seed is not None else (time.time_ns() % 2**31))
 
@@ -441,7 +444,7 @@ class Engine:
         stats = RequestStats(prompt_tokens=int(_sync(lens)[0]))
         cache = init_cache(
             cfg.decoder.num_layers, b, t + max_new,
-            cfg.decoder.num_kv_heads, cfg.decoder.head_dim, self._dtype)
+            cfg.decoder.num_kv_heads, cfg.decoder.head_dim, self._kv_dtype)
         t0 = time.perf_counter()
         logits, cache = self._prefill_jit(
             self.params, inputs["images"], ids, lens, starts, cache,

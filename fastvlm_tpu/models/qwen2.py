@@ -28,6 +28,7 @@ from fastvlm_tpu.ops.conv import rms_norm
 from fastvlm_tpu.ops.kv_cache import (
     KVCache,
     PagedKVCache,
+    dequantize_view,
     gather_pages,
     write_prompt,
     write_prompt_paged,
@@ -209,6 +210,32 @@ def pos_terms(cfg: Qwen2Config, positions, mask):
     return cos, sin, bias, mask[:, None]
 
 
+def _attend_quant(q, k8, ks, v8, vs, mask):
+    """Decode attention over an int8 KV cache WITHOUT materializing a
+    dequantized copy: per-token scales commute out of the dots —
+    scores[:, s] = (q · k8[s]) * k_scale[s], and the value scale folds into
+    the probabilities (p' = p * v_scale) before the PV dot. Only a pure
+    int8->bf16 convert feeds each einsum operand.
+
+    q: (B,T,Hq,D); k8/v8: (B,S,Hkv,D) int8; ks/vs: (B,S,Hkv) f32;
+    mask: (B,1,T,S) bool."""
+    b, t, hq, d = q.shape
+    hkv = k8.shape[2]
+    g = hq // hkv
+    qq = q.reshape(b, t, hkv, g, d)
+    scores = jnp.einsum("bthgd,bshd->bhgts", qq, k8.astype(q.dtype),
+                        preferred_element_type=jnp.float32) * (d ** -0.5)
+    kss = jnp.transpose(ks, (0, 2, 1))[:, :, None, None, :]  # (B,Hkv,1,1,S)
+    scores = scores * kss
+    scores = jnp.where(mask[:, :, None], scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    vss = jnp.transpose(vs, (0, 2, 1))[:, :, None, None, :]
+    probs = (probs * vss).astype(q.dtype)
+    out = jnp.einsum("bhgts,bshd->bthgd", probs, v8.astype(q.dtype),
+                     preferred_element_type=jnp.float32).astype(q.dtype)
+    return out.reshape(b, t, hq * d)
+
+
 def _attend(q, k, v, mask, bias=None):
     """q: (B,T,Hq,D); k,v: (B,S,Hkv,D); mask: (B,1,T,S) bool;
     bias: optional (B,Hq,T,S) additive (ALiBi) -> (B,T,Hq,D)."""
@@ -266,12 +293,14 @@ def _decode_attention_pallas(q, keys, values, lengths):
 
 
 def _layer(x, lp, cfg: Qwen2Config, cos, sin, cache_k, cache_v, mask, lengths,
-           prefill, bias=None, prefill_offset=0, block_tables=None):
+           prefill, bias=None, prefill_offset=0, block_tables=None,
+           cache_ks=None, cache_vs=None):
     """One decoder layer.
 
     cache_k/v: (B, S_max, Hkv, D) dense cache rows, (P, page, Hkv, D) pool
     slices when ``block_tables`` is given (paged serving layout), or None
-    (no cache — training self-attention)."""
+    (no cache — training self-attention). cache_ks/vs: per-token-head
+    scales when the dense cache stores int8 (ops/kv_cache.py)."""
     b, t, d = x.shape
     h = _norm(x, lp["ln1"], cfg)
     if "qkv" in lp:
@@ -289,15 +318,21 @@ def _layer(x, lp, cfg: Qwen2Config, cos, sin, cache_k, cache_v, mask, lengths,
         k = apply_rope(k, cos, sin)
 
     attn = None  # set directly by the Pallas decode routes
+    quant_kv = cache_k is not None and cache_k.dtype == jnp.int8
     use_pallas = (cfg.attn_backend == "pallas" and bias is None
-                  and cfg.attn_window is None)
+                  and cfg.attn_window is None and not quant_kv)
     if cache_k is None:
         keys, values = k, v
         new_cache = None
     elif prefill:
         if block_tables is None:
-            cache_k, cache_v = write_prompt(cache_k, cache_v, k, v,
-                                            prefill_offset)
+            if quant_kv:
+                cache_k, cache_v, cache_ks, cache_vs = write_prompt(
+                    cache_k, cache_v, k, v, prefill_offset,
+                    cache_ks, cache_vs)
+            else:
+                cache_k, cache_v = write_prompt(cache_k, cache_v, k, v,
+                                                prefill_offset)
         else:
             cache_k, cache_v = write_prompt_paged(cache_k, cache_v, k, v,
                                                   block_tables, prefill_offset)
@@ -308,17 +343,31 @@ def _layer(x, lp, cfg: Qwen2Config, cos, sin, cache_k, cache_v, mask, lengths,
             # instead of streaming the S_max-wide (mostly masked) cache.
             keys, values = k, v
         elif block_tables is None:
-            keys, values = cache_k, cache_v
+            keys = dequantize_view(cache_k, cache_ks, q.dtype)
+            values = dequantize_view(cache_v, cache_vs, q.dtype)
         else:
             keys = gather_pages(cache_k, block_tables)
             values = gather_pages(cache_v, block_tables)
-        new_cache = (cache_k, cache_v)
+        new_cache = (cache_k, cache_v, cache_ks, cache_vs) if quant_kv \
+            else (cache_k, cache_v)
     elif block_tables is None:  # dense decode step
-        cache_k, cache_v = write_token(cache_k, cache_v, k, v, lengths)
-        keys, values = cache_k, cache_v
-        new_cache = (cache_k, cache_v)
-        if use_pallas:
-            attn = _decode_attention_pallas(q, keys, values, lengths)
+        if quant_kv:
+            cache_k, cache_v, cache_ks, cache_vs = write_token(
+                cache_k, cache_v, k, v, lengths, cache_ks, cache_vs)
+            new_cache = (cache_k, cache_v, cache_ks, cache_vs)
+            if bias is None:
+                # scale-on-scores formulation: no dequantized KV copy
+                attn = _attend_quant(q, cache_k, cache_ks, cache_v,
+                                     cache_vs, mask)
+            else:
+                keys = dequantize_view(cache_k, cache_ks, q.dtype)
+                values = dequantize_view(cache_v, cache_vs, q.dtype)
+        else:
+            cache_k, cache_v = write_token(cache_k, cache_v, k, v, lengths)
+            keys, values = cache_k, cache_v
+            new_cache = (cache_k, cache_v)
+            if use_pallas:
+                attn = _decode_attention_pallas(q, keys, values, lengths)
     else:  # paged decode step
         cache_k, cache_v = write_token_paged(cache_k, cache_v, k, v,
                                              block_tables, lengths)
@@ -435,6 +484,21 @@ def forward(
         new_lengths = (lengths + t) if prefill else (lengths + 1)
         new_cache = PagedKVCache(k_pages=nk, v_pages=nv,
                                  block_tables=tables, lengths=new_lengths)
+    elif cache.k_scale is not None:  # dense int8 KV cache
+        def body(carry, layer_in):
+            lp, ck, cv, cks, cvs = layer_in
+            h, (nk, nv, nks, nvs) = _layer(
+                carry, lp, cfg, cos, sin, ck, cv, mask, lengths, prefill,
+                bias, prefill_offset, cache_ks=cks, cache_vs=cvs)
+            return h, (nk, nv, nks, nvs)
+
+        x, (nk, nv, nks, nvs) = lax.scan(
+            body, x, (params["layers"], cache.k, cache.v,
+                      cache.k_scale, cache.v_scale),
+            unroll=cfg.scan_unroll)
+        new_lengths = (lengths + t) if prefill else (lengths + 1)
+        new_cache = KVCache(k=nk, v=nv, lengths=new_lengths,
+                            k_scale=nks, v_scale=nvs)
     else:
         def body(carry, layer_in):
             lp, ck, cv = layer_in

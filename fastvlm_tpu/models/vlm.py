@@ -412,7 +412,8 @@ def generate(
     cache = init_cache(
         cfg.decoder.num_layers, b, max_len,
         cfg.decoder.num_kv_heads, cfg.decoder.head_dim,
-        dtype=resolve_dtype(cfg.decoder.compute_dtype),
+        dtype=(jnp.int8 if cfg.decoder.kv_cache_dtype == "int8"
+               else resolve_dtype(cfg.decoder.compute_dtype)),
     )
     logits, cache = prefill(params, cfg, images, ids, seq_lens, image_starts, cache)
 

@@ -43,9 +43,11 @@ class BeamResult(NamedTuple):
 
 def _replicate_cache(cache: KVCache, w: int) -> KVCache:
     """(L, B, S, H, D) -> (L, B*W, S, H, D): beam rows start identical."""
-    rep = lambda x, axis: jnp.repeat(x, w, axis=axis)
+    rep = lambda x, axis: None if x is None else jnp.repeat(x, w, axis=axis)
     return KVCache(k=rep(cache.k, 1), v=rep(cache.v, 1),
-                   lengths=rep(cache.lengths, 0))
+                   lengths=rep(cache.lengths, 0),
+                   k_scale=rep(cache.k_scale, 1),
+                   v_scale=rep(cache.v_scale, 1))
 
 
 @functools.partial(
@@ -145,9 +147,12 @@ def beam_search(
         # what `parent` indexes)
         flat = (jnp.arange(b, dtype=jnp.int32)[:, None] * w
                 + sel_parent).reshape(-1)
-        cache = KVCache(k=jnp.take(cache.k, flat, axis=1),
-                        v=jnp.take(cache.v, flat, axis=1),
-                        lengths=jnp.take(cache.lengths, flat, axis=0))
+        take = lambda x, axis: None if x is None else jnp.take(x, flat,
+                                                              axis=axis)
+        cache = KVCache(k=take(cache.k, 1), v=take(cache.v, 1),
+                        lengths=take(cache.lengths, 0),
+                        k_scale=take(cache.k_scale, 1),
+                        v_scale=take(cache.v_scale, 1))
         return (cache, last_tok, live_scores, live_tokens,
                 fin_scores, fin_tokens, fin_lens), None
 

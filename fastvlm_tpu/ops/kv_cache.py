@@ -14,7 +14,7 @@ live in ops/pallas/decode_attention.py.
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -22,9 +22,16 @@ from jax import lax
 
 
 class KVCache(NamedTuple):
-    k: jnp.ndarray  # (L, B, S_max, H_kv, D)
+    k: jnp.ndarray  # (L, B, S_max, H_kv, D) — bf16/f32, or int8 (quantized)
     v: jnp.ndarray  # (L, B, S_max, H_kv, D)
     lengths: jnp.ndarray  # (B,) int32 — tokens currently stored per row
+    # int8 KV (cfg.decoder.kv_cache_dtype="int8"): per-token-per-head scales.
+    # Decode at long context is KV-bandwidth-bound; int8 halves that traffic
+    # (1.45x attention-scan speedup measured on chip, docs/PERF.md) and the
+    # dequant convert fuses into the attention read — unlike the int8 WEIGHT
+    # decode pathology, the dots here have a large free dim (S), not M=1.
+    k_scale: Optional[jnp.ndarray] = None  # (L, B, S_max, H_kv) f32
+    v_scale: Optional[jnp.ndarray] = None
 
     @property
     def max_len(self) -> int:
@@ -35,26 +42,66 @@ class KVCache(NamedTuple):
         return self.k.shape[0]
 
 
-def init_cache(num_layers, batch, max_len, num_kv_heads, head_dim, dtype=jnp.bfloat16):
+def init_cache(num_layers, batch, max_len, num_kv_heads, head_dim,
+               dtype=jnp.bfloat16):
+    """dtype=jnp.int8 allocates the quantized layout (+ scale planes)."""
     shape = (num_layers, batch, max_len, num_kv_heads, head_dim)
+    ks = vs = None
+    if dtype == jnp.int8:
+        # two distinct allocations: aliased leaves would break donation
+        ks = jnp.ones(shape[:-1], jnp.float32)
+        vs = jnp.ones(shape[:-1], jnp.float32)
     return KVCache(
         k=jnp.zeros(shape, dtype),
         v=jnp.zeros(shape, dtype),
         lengths=jnp.zeros((batch,), jnp.int32),
+        k_scale=ks,
+        v_scale=vs,
     )
 
 
-def write_prompt(layer_k, layer_v, new_k, new_v, offset=0):
+def quantize_tokens(x):
+    """(..., H, D) float -> (int8 values, (..., H) f32 per-token-head scale)."""
+    m = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = jnp.where(m == 0, 1.0, m / 127.0)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale[..., None]),
+                 -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def dequantize_view(x, scale, dtype):
+    """int8 (..., H, D) + scale (..., H) -> dtype; XLA fuses the convert
+    into the consuming attention read (measured, docs/PERF.md)."""
+    if scale is None:
+        return x.astype(dtype)
+    return x.astype(dtype) * scale[..., None].astype(dtype)
+
+
+def write_prompt(layer_k, layer_v, new_k, new_v, offset=0,
+                 layer_ks=None, layer_vs=None):
     """Prefill write: place (B, T, H, D) keys/values at positions
-    [offset, offset+T). offset may be a traced scalar (prefix-reuse paths)."""
+    [offset, offset+T). offset may be a traced scalar (prefix-reuse paths).
+
+    Returns (k, v) or (k, v, k_scale, v_scale) matching the cache layout."""
+    quant = layer_k.dtype == jnp.int8
+    if quant:
+        new_k, ks = quantize_tokens(new_k)
+        new_v, vs = quantize_tokens(new_v)
+        layer_ks = lax.dynamic_update_slice_in_dim(layer_ks, ks, offset,
+                                                   axis=1)
+        layer_vs = lax.dynamic_update_slice_in_dim(layer_vs, vs, offset,
+                                                   axis=1)
     layer_k = lax.dynamic_update_slice_in_dim(
         layer_k, new_k.astype(layer_k.dtype), offset, axis=1)
     layer_v = lax.dynamic_update_slice_in_dim(
         layer_v, new_v.astype(layer_v.dtype), offset, axis=1)
+    if quant:
+        return layer_k, layer_v, layer_ks, layer_vs
     return layer_k, layer_v
 
 
-def write_token(layer_k, layer_v, new_k, new_v, lengths):
+def write_token(layer_k, layer_v, new_k, new_v, lengths,
+                layer_ks=None, layer_vs=None):
     """Decode write: row b's (1, H, D) key/value goes to index lengths[b].
 
     layer_k/v: (B, S_max, H, D); new_k/v: (B, 1, H, D); lengths: (B,)
@@ -65,8 +112,16 @@ def write_token(layer_k, layer_v, new_k, new_v, lengths):
             buf_row, new_row.astype(buf_row.dtype), idx, axis=0
         )
 
+    quant = layer_k.dtype == jnp.int8
+    if quant:
+        new_k, ks = quantize_tokens(new_k)
+        new_v, vs = quantize_tokens(new_v)
+        layer_ks = jax.vmap(_upd)(layer_ks, ks, lengths)
+        layer_vs = jax.vmap(_upd)(layer_vs, vs, lengths)
     layer_k = jax.vmap(_upd)(layer_k, new_k, lengths)
     layer_v = jax.vmap(_upd)(layer_v, new_v, lengths)
+    if quant:
+        return layer_k, layer_v, layer_ks, layer_vs
     return layer_k, layer_v
 
 

@@ -110,6 +110,14 @@ class BatchScheduler:
         # paged KV serving: one shared device page pool; rows map pages as
         # they grow and return them on finish (falls back to a dense
         # per-batch cache if a batch can't fit the pool)
+        import jax.numpy as jnp
+
+        if paged and getattr(engine, "_kv_dtype", None) == jnp.int8:
+            # the paged pool is bf16-only for now; an int8 KV engine falls
+            # back to the dense (int8) cache which still halves KV traffic
+            logger.info("kv_cache_dtype=int8: paged pool disabled "
+                        "(dense int8 cache serves instead)")
+            paged = False
         self.paged = paged
         self.page_size = page_size
         self.pool = PagePool(max(1, pool_tokens // page_size)) if paged else None
@@ -324,7 +332,7 @@ class BatchScheduler:
         if cache is None:
             cache = init_cache(cfg.decoder.num_layers, b, pad_to + max_new,
                                cfg.decoder.num_kv_heads, cfg.decoder.head_dim,
-                               engine._dtype)
+                               engine._kv_dtype)
         batch_ok = False
         try:
             # everything from the prefill dispatch onward runs under

@@ -65,7 +65,7 @@ class VideoQA:
         self._key = jax.random.PRNGKey(time.time_ns() % 2**31)
         self.cache = init_cache(
             cfg.decoder.num_layers, 1, total_max,
-            cfg.decoder.num_kv_heads, cfg.decoder.head_dim, self._dtype)
+            cfg.decoder.num_kv_heads, cfg.decoder.head_dim, engine._kv_dtype)
 
         # one-time prefix prefill (no image in the prefix)
         pre_ids, pre_lens, pre_starts = pad_batch(
