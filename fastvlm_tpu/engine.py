@@ -40,17 +40,51 @@ def _sync(x):
     return np.asarray(x)  # axon block_until_ready returns early; fetch to sync
 
 
+def _host_cache_key() -> str:
+    """Fingerprint of the host microarchitecture. XLA:CPU AOT executables
+    embed machine features; loading one compiled on a different host warns
+    ("Compile machine features ... vs host machine features") and can
+    SIGILL/segfault (observed: a VM migration made round-2 cache entries
+    crash the test suite mid-run). Keying the cache dir by CPU flags makes
+    cross-host reuse impossible."""
+    import hashlib
+    import platform as plat
+
+    feats = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    feats = line.strip()
+                    break
+    except OSError:
+        pass
+    return hashlib.sha256(
+        (plat.machine() + feats).encode()).hexdigest()[:12]
+
+
 def enable_compilation_cache(path: Optional[str] = None) -> None:
     """Persistent XLA compilation cache: first-request latency in serving
     drops from ~30s (full encoder compile) to load-from-disk on restarts.
+    The directory is keyed by a host-microarch fingerprint (_host_cache_key).
 
-    Disable with FASTVLM_NO_COMPILE_CACHE=1."""
+    Disable with FASTVLM_NO_COMPILE_CACHE=1. CPU backends are excluded:
+    this jax's XLA:CPU AOT serialization is unreliable on this host class —
+    cross-host loads warn about machine features and can SIGILL, and
+    serializing shard_map executables segfaulted outright (observed in the
+    test suite) — while the TPU path, the one that actually needs warm
+    restarts, round-trips fine. Force with FASTVLM_FORCE_COMPILE_CACHE=1."""
     import os
 
     if os.environ.get("FASTVLM_NO_COMPILE_CACHE"):
         return
-    path = path or os.environ.get("FASTVLM_COMPILE_CACHE",
-                                  os.path.expanduser("~/.cache/fastvlm_tpu/xla"))
+    if (jax.default_backend() == "cpu"
+            and not os.environ.get("FASTVLM_FORCE_COMPILE_CACHE")):
+        return
+    path = path or os.environ.get("FASTVLM_COMPILE_CACHE")
+    if path is None:
+        path = os.path.expanduser(
+            os.path.join("~/.cache/fastvlm_tpu/xla", _host_cache_key()))
     try:
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
@@ -65,18 +99,24 @@ class RequestStats:
     decode_tokens: int = 0
     decode_ms: float = 0.0
     prompt_tokens: int = 0
+    spec_steps: int = 0          # verify passes (speculative decode only)
+    spec_accept_rate: float = 0.0
 
     @property
     def tok_per_s(self) -> float:
         return self.decode_tokens / self.decode_ms * 1000 if self.decode_ms else 0.0
 
     def as_dict(self) -> Dict[str, float]:
-        return {
+        d = {
             "ttft_ms": round(self.ttft_ms, 2),
             "decode_tokens": self.decode_tokens,
             "tok_per_s": round(self.tok_per_s, 2),
             "prompt_tokens": self.prompt_tokens,
         }
+        if self.spec_steps:
+            d["spec_steps"] = self.spec_steps
+            d["spec_accept_rate"] = round(self.spec_accept_rate, 3)
+        return d
 
 
 class Engine:
@@ -460,6 +500,64 @@ class Engine:
         if toks and toks[-1] in self.eos_ids:
             toks = toks[:-1]
         return self._decode_text(toks), stats.as_dict()
+
+    def generate_spec(
+        self,
+        prompt: str,
+        image=None,
+        *,
+        max_new_tokens: Optional[int] = None,
+        draft_k: int = 8,
+        stop_strings: Sequence[str] = (),
+    ) -> Tuple[str, Dict[str, Any]]:
+        """Greedy generate with prompt-lookup speculative decoding.
+
+        Same tokens as greedy ``generate`` in fewer device steps (each
+        verify pass commits 1..draft_k+1 tokens; b1 decode streams every
+        weight per step, so the batched verify is nearly free —
+        vlm.spec_decode / ops/speculative.py). The reference's HF stack
+        exposes this as ``generate(prompt_lookup_num_tokens=...)``; here it
+        is a device-resident loop. Extension knob: not a reference CLI flag.
+        """
+        cfg = self.cfg
+        max_new = max_new_tokens or cfg.max_new_tokens
+        inputs = self.prepare(prompt, image)
+        ids, lens, starts = inputs["ids"], inputs["lens"], inputs["starts"]
+        b, t = ids.shape
+        stats = RequestStats(prompt_tokens=int(_sync(lens)[0]))
+        cache = init_cache(
+            cfg.decoder.num_layers, b,
+            vlm.spec_cache_len(t, max_new, draft_k),
+            cfg.decoder.num_kv_heads, cfg.decoder.head_dim, self._kv_dtype)
+        t0 = time.perf_counter()
+        logits, cache = self._prefill_jit(
+            self.params, inputs["images"], ids, lens, starts, cache,
+            inputs["vision_embeds"])
+        res = vlm.spec_decode(
+            self.params, cfg, logits, cache, ids, lens,
+            max_new_tokens=max_new, eos_ids=self.eos_ids, draft_k=draft_k)
+        n = int(_sync(res.num_generated)[0])
+        toks = [int(x) for x in _sync(res.tokens)[0][:n]]
+        stats.decode_ms = (time.perf_counter() - t0) * 1000
+        stats.decode_tokens = n
+        stats.spec_steps = int(_sync(res.steps))
+        stats.spec_accept_rate = (
+            float(_sync(res.accepted)) / max(1, float(_sync(res.drafted))))
+        if toks and toks[-1] in self.eos_ids:
+            toks = toks[:-1]
+        # host-side keyword + stop-string trimming (single trailing pass:
+        # spec commits whole spans, so the mid-stream scan in stream() is
+        # replaced by one post-hoc cut at the earliest stop site)
+        for kid in self._keyword_token_ids(stop_strings):
+            for i in range(len(toks) - len(kid) + 1):
+                if toks[i:i + len(kid)] == kid:
+                    toks = toks[:i]
+                    break
+        text = self._decode_text(toks)
+        for s in stop_strings:
+            if s and s in text:
+                text = text.split(s)[0]
+        return text, stats.as_dict()
 
     def chat(self, user_prompt: str, image=None, **kw):
         """Convenience: wraps user_prompt in the conversation template."""

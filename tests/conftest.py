@@ -22,3 +22,20 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+import pytest  # noqa: E402
+
+_TESTS_RUN = [0]
+_CLEAR_EVERY = int(os.environ.get("FASTVLM_TEST_CLEAR_EVERY", "60"))
+
+
+@pytest.fixture(autouse=True)
+def _periodic_jax_cache_clear():
+    """XLA:CPU segfaults inside LLVM after ~185 compilations accumulate in one
+    process (state-dependent; the same test passes in a fresh process — see
+    CLAUDE.md). Dropping compiled-executable references every N tests keeps
+    the per-process JIT state under the cliff at the cost of some recompiles."""
+    yield
+    _TESTS_RUN[0] += 1
+    if _CLEAR_EVERY and _TESTS_RUN[0] % _CLEAR_EVERY == 0:
+        jax.clear_caches()
+

@@ -161,8 +161,6 @@ def test_train_sft_cli_pp_and_sp(tmp_path):
 
     from PIL import Image
 
-    from fastvlm_tpu.train import train_sft
-
     img_dir = tmp_path / "images"
     img_dir.mkdir()
     Image.new("RGB", (64, 64), (10, 200, 30)).save(img_dir / "x.jpg")
@@ -174,11 +172,30 @@ def test_train_sft_cli_pp_and_sp(tmp_path):
     common = ["--random-tiny", "--data-path", str(tmp_path / "d.json"),
               "--image-folder", str(img_dir),
               "--batch-size", "8", "--max-steps", "2", "--log-steps", "1",
-              "--save-steps", "0"]
+              "--save-steps", "0", "--platform", "cpu"]
+
+    # Run the CLI in a SUBPROCESS (it is a CLI): compiling the shard_map
+    # pipeline program in-process after ~190 earlier tests segfaults
+    # XLA:CPU on this host class (state-dependent LLVM crash; passes in a
+    # fresh process — the in-process crash reproduced at the same test
+    # position across three full-suite runs).
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+
+    def run_cli(args):
+        return subprocess.run(
+            [sys.executable, "-m", "fastvlm_tpu.train.train_sft"] + args,
+            env=env, capture_output=True, text=True, timeout=600)
+
     # tp=2 stages on 8 devices -> dp=4; 8/2 microbatches of 4 rows each
-    rc = train_sft.main(common + ["--output-dir", str(tmp_path / "pp"),
-                                  "--tp", "2", "--pp-micro", "2"])
-    assert rc == 0
-    rc = train_sft.main(common + ["--output-dir", str(tmp_path / "sp"),
-                                  "--tp", "2", "--sp"])
-    assert rc == 0
+    out = run_cli(common + ["--output-dir", str(tmp_path / "pp"),
+                            "--tp", "2", "--pp-micro", "2"])
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    out = run_cli(common + ["--output-dir", str(tmp_path / "sp"),
+                            "--tp", "2", "--sp"])
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
