@@ -320,7 +320,8 @@ def _layer(x, lp, cfg: Qwen2Config, cos, sin, cache_k, cache_v, mask, lengths,
     attn = None  # set directly by the Pallas decode routes
     quant_kv = cache_k is not None and cache_k.dtype == jnp.int8
     use_pallas = (cfg.attn_backend == "pallas" and bias is None
-                  and cfg.attn_window is None and not quant_kv)
+                  and cfg.attn_window is None and not quant_kv
+                  and t == 1)  # speculative verify decodes t=k+1 at once
     if cache_k is None:
         keys, values = k, v
         new_cache = None

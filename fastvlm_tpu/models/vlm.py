@@ -385,6 +385,167 @@ class GenerateResult(NamedTuple):
     num_generated: jnp.ndarray  # (B,) int32 (including the EOS token)
 
 
+_prefill_jit = jax.jit(prefill, static_argnames=("cfg",))
+
+
+def spec_cache_len(prompt_bucket: int, max_new_tokens: int,
+                   draft_k: int) -> int:
+    """KV length a speculative-decode cache must be allocated with: a verify
+    pass writes draft_k+1 slots past the committed length before acceptance
+    truncates, so the cache needs that much slack past prompt+generation."""
+    return prompt_bucket + max_new_tokens + draft_k + 1
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "max_new_tokens", "eos_ids", "draft_k", "ngram_n"),
+)
+def spec_decode(
+    params: Params,
+    cfg: FastVLMConfig,
+    logits: jnp.ndarray,     # (B, V) prefill logits
+    cache: KVCache,          # max_len >= spec_cache_len(...)
+    ids: jnp.ndarray,        # (B, T) the prompt ids (n-gram draft corpus)
+    seq_lens: jnp.ndarray,   # (B,)
+    *,
+    max_new_tokens: int = 256,
+    eos_ids: Tuple[int, ...] = (151645,),
+    draft_k: int = 8,
+    ngram_n: int = 3,
+):
+    """Greedy decode with prompt-lookup speculative drafts (after prefill).
+
+    Produces the same tokens as greedy decode (modulo float associativity:
+    the verify pass batches k+1 positions into one matmul, so exact argmax
+    ties can in principle resolve differently) in fewer device steps: each
+    verify pass costs ~one decode step (b1 decode is weight-bandwidth-bound,
+    docs/PERF.md) but commits 1..draft_k+1 tokens. The reference reaches the
+    same technique through HF assisted decoding (``generate(
+    prompt_lookup_num_tokens=...)``); here it is a static-shape
+    ``lax.while_loop`` on device. See ops/speculative.py for the scheme.
+
+    Returns ops.speculative.SpecResult.
+    """
+    from fastvlm_tpu.ops.speculative import (
+        SpecResult,
+        accept_counts,
+        ngram_draft,
+        spec_mask,
+    )
+
+    b, t = ids.shape
+    k = draft_k
+    max_len = cache.max_len
+    assert max_len >= spec_cache_len(t, max_new_tokens, k), \
+        "spec_decode cache lacks the draft_k+1 verify slack"
+    eos = jnp.asarray(eos_ids, jnp.int32)
+    cd = resolve_dtype(cfg.decoder.compute_dtype)
+
+    tok0 = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    done0 = jnp.isin(tok0, eos) | (max_new_tokens <= 1)
+
+    buf = max_new_tokens + k + 1
+    out = jnp.zeros((b, buf), jnp.int32).at[:, 0].set(tok0)
+    # token history = prompt + generated, for the n-gram draft lookup
+    hist = jnp.zeros((b, max_len), jnp.int32)
+    hist = lax.dynamic_update_slice(hist, ids, (0, 0))
+    hist = jax.vmap(lambda h, v, s: lax.dynamic_update_slice(h, v, (s,)))(
+        hist, tok0[:, None], seq_lens)
+    hist_len = seq_lens + 1
+
+    def masked_write(bufrow, vec, start, count):
+        """Write vec[:count] into bufrow at start (static-width k+1 window;
+        positions >= count keep their old values)."""
+        old = lax.dynamic_slice(bufrow, (start,), (k + 1,))
+        vec = jnp.where(jnp.arange(k + 1) < count, vec, old)
+        return lax.dynamic_update_slice(bufrow, vec, (start,))
+
+    def cond(state):
+        return ~jnp.all(state[3])
+
+    def body(state):
+        step, out, num, done, last_tok, cache, hist, hist_len, dr, ac = state
+        active = ~done
+        draft = ngram_draft(hist, hist_len, k, n=ngram_n)
+        seq = jnp.concatenate([last_tok[:, None], draft], axis=1)  # (B, k+1)
+        embeds = qwen2.embed(params["decoder"], seq).astype(cd)
+        lengths = cache.lengths
+        positions = lengths[:, None] + jnp.arange(k + 1, dtype=jnp.int32)[None]
+        mask = spec_mask(lengths, k + 1, cache.max_len,
+                         window=cfg.decoder.attn_window)
+        hidden, cache = qwen2.forward(
+            params["decoder"], cfg.decoder, embeds, positions,
+            cache=cache, mask=mask, prefill=False,
+        )
+        logits = qwen2.logits_from_hidden(params["decoder"], hidden,
+                                          cfg.decoder)
+        g = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B, k+1)
+
+        a = accept_counts(draft, g[:, :k])          # accepted draft prefix
+        count = a + 1                               # + the bonus token
+        # truncate at the first EOS within the committed span
+        j = jnp.arange(k + 1)[None, :]
+        is_eos = jnp.isin(g, eos) & (j < count[:, None])
+        hit = jnp.any(is_eos, axis=-1)
+        count = jnp.where(hit, jnp.argmax(is_eos, axis=-1) + 1, count)
+        count = jnp.minimum(count, max_new_tokens - num)  # budget cap
+        count = jnp.where(active, count, 0)
+        done = done | hit | (num + count >= max_new_tokens)
+
+        out = jax.vmap(masked_write)(out, g, num, count)
+        hist = jax.vmap(masked_write)(hist, g, hist_len, count)
+        new_last = jnp.take_along_axis(
+            g, jnp.clip(count - 1, 0, k)[:, None], axis=1)[:, 0]
+        last_tok = jnp.where(count > 0, new_last, last_tok)
+        cache = cache._replace(lengths=lengths + count)
+        dr = dr + jnp.sum(jnp.where(active, k, 0))
+        ac = ac + jnp.sum(jnp.where(active, count - 1, 0))
+        return (step + 1, out, num + count, done, last_tok, cache,
+                hist, hist_len + count, dr, ac)
+
+    state = (jnp.int32(0), out, jnp.ones((b,), jnp.int32), done0, tok0,
+             cache, hist, hist_len, jnp.int32(0), jnp.int32(0))
+    steps, out, num, _, _, _, _, _, dr, ac = lax.while_loop(cond, body, state)
+
+    out = jnp.where(jnp.arange(buf)[None, :] < num[:, None], out, 0)
+    return SpecResult(tokens=out[:, :max_new_tokens],
+                      num_generated=num.astype(jnp.int32),
+                      steps=steps, drafted=dr, accepted=ac)
+
+
+def generate_spec(
+    params: Params,
+    cfg: FastVLMConfig,
+    images: Optional[jnp.ndarray],
+    ids: jnp.ndarray,
+    seq_lens: jnp.ndarray,
+    image_starts: jnp.ndarray,
+    *,
+    max_new_tokens: int = 256,
+    eos_ids: Tuple[int, ...] = (151645,),
+    draft_k: int = 8,
+    ngram_n: int = 3,
+):
+    """Whole-generation speculative greedy decode: prefill + spec_decode.
+
+    Convenience composition mirroring ``generate``; the Engine calls the two
+    halves separately so its own prefill jit (anyres tiles, precomputed
+    vision embeds) is reused."""
+    b, t = ids.shape
+    cache = init_cache(
+        cfg.decoder.num_layers, b,
+        spec_cache_len(t, max_new_tokens, draft_k),
+        cfg.decoder.num_kv_heads, cfg.decoder.head_dim,
+        dtype=(jnp.int8 if cfg.decoder.kv_cache_dtype == "int8"
+               else resolve_dtype(cfg.decoder.compute_dtype)),
+    )
+    logits, cache = _prefill_jit(params, cfg, images, ids, seq_lens,
+                                 image_starts, cache)
+    return spec_decode(params, cfg, logits, cache, ids, seq_lens,
+                       max_new_tokens=max_new_tokens, eos_ids=eos_ids,
+                       draft_k=draft_k, ngram_n=ngram_n)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "max_new_tokens", "eos_ids", "sampling"),

@@ -55,6 +55,12 @@ def main(argv=None) -> int:
     parser.add_argument("--temperature", type=float, default=0.2)
     parser.add_argument("--top_p", type=float, default=None)
     parser.add_argument("--num_beams", type=int, default=1)
+    parser.add_argument("--spec-decode", action="store_true",
+                        help="prompt-lookup speculative decoding (greedy "
+                             "only; same tokens, fewer device steps — "
+                             "extension beyond the reference CLI)")
+    parser.add_argument("--draft-k", type=int, default=8,
+                        help="speculative draft length (with --spec-decode)")
     parser.add_argument("--max-new-tokens", type=int, default=256)
     parser.add_argument("--dtype", type=str, default="bfloat16")
     parser.add_argument("--random-weights", action="store_true",
@@ -121,6 +127,12 @@ def main(argv=None) -> int:
         text, stats = engine.generate_beam(
             prompt, image, num_beams=args.num_beams,
             max_new_tokens=args.max_new_tokens)
+    elif args.spec_decode:
+        if sampling.temperature > 0:
+            parser.error("--spec-decode is greedy-only; use --temperature 0")
+        text, stats = engine.generate_spec(
+            prompt, image, max_new_tokens=args.max_new_tokens,
+            draft_k=args.draft_k)
     else:
         text, stats = engine.generate(
             prompt, image, max_new_tokens=args.max_new_tokens,
