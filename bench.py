@@ -464,8 +464,8 @@ def run_config(name: str, *, iters: int = 40, dtype: str = "bfloat16",
 # The driver-visible matrix (VERDICT r2 #3): one entry per BASELINE config,
 # so BENCH_r{N}.json captures the whole north star — especially the 7B
 # number — in a single self-contained line.
-MATRIX = ("0.5b-caption", "1.5b-vqa", "7b-batch8-w8a8", "ocr-1536",
-          "video-qa", "decode-paged")
+MATRIX = ("0.5b-caption", "1.5b-vqa", "7b-caption", "7b-batch8-w8a8",
+          "ocr-1536", "video-qa", "decode-paged", "decode-spec")
 
 
 def main(argv=None) -> int:

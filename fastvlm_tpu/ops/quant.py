@@ -3,8 +3,11 @@
 The reference ships on-device quantization presets — 0.5B fp16, 1.5B int8,
 7B int4 (README.md:68-70, via mlx-vlm convert -q). TPU equivalent: decoder
 matmul weights stored as int8/int4 with float scales, dequantized inside the
-matmul (weights stream from HBM at 1/2-1/4 the bytes — decode is
-weight-bandwidth-bound, so this is a direct decode-latency win).
+matmul. On this platform int8 is the SPEED format (W8A8 prefill rides the
+MXU's 2x int8 path; weight-only int8 halves the b1 prefill weight read)
+while int4 is a MEMORY format only — the nibble unpack defeats operand
+fusion and measures 5x slower than int8 at 7B b1 (docs/PERF.md int4
+section), so use it for fitting/export, not latency.
 
 A quantized linear param dict is {"w_q": int8, "scale": f32 (..., cout),
 "b"?: float}. int4 packs two values per byte along cin, so the format is
