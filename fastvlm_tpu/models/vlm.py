@@ -396,33 +396,30 @@ def spec_cache_len(prompt_bucket: int, max_new_tokens: int,
     return prompt_bucket + max_new_tokens + draft_k + 1
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("cfg", "max_new_tokens", "eos_ids", "draft_k", "ngram_n"),
-)
-def spec_decode(
+def _spec_loop(
     params: Params,
     cfg: FastVLMConfig,
-    logits: jnp.ndarray,     # (B, V) prefill logits
-    cache: KVCache,          # max_len >= spec_cache_len(...)
-    ids: jnp.ndarray,        # (B, T) the prompt ids (n-gram draft corpus)
-    seq_lens: jnp.ndarray,   # (B,)
-    *,
-    max_new_tokens: int = 256,
-    eos_ids: Tuple[int, ...] = (151645,),
-    draft_k: int = 8,
-    ngram_n: int = 3,
+    tok0: jnp.ndarray,       # (B,) first generated token (greedy, from prefill)
+    cache: KVCache,          # holds the prompt KV; lengths = prompt lengths
+    corpus: jnp.ndarray,     # (B, T) draft-lookup token corpus (prompt ids —
+                             # video seeds it with the previous frame's answer)
+    corpus_lens: jnp.ndarray,  # (B,)
+    max_new_tokens: int,
+    eos_ids: Tuple[int, ...],
+    draft_k: int,
+    ngram_n: int,
 ):
-    """Greedy decode with prompt-lookup speculative drafts (after prefill).
+    """Core speculative-greedy loop shared by spec_decode (serving/predict)
+    and spec_decode_from_tok (video). Pure function — jitted by its callers.
 
     Produces the same tokens as greedy decode (modulo float associativity:
     the verify pass batches k+1 positions into one matmul, so exact argmax
-    ties can in principle resolve differently) in fewer device steps: each
-    verify pass costs ~one decode step (b1 decode is weight-bandwidth-bound,
-    docs/PERF.md) but commits 1..draft_k+1 tokens. The reference reaches the
-    same technique through HF assisted decoding (``generate(
-    prompt_lookup_num_tokens=...)``); here it is a static-shape
-    ``lax.while_loop`` on device. See ops/speculative.py for the scheme.
+    ties can in principle resolve differently — measured magnitudes in
+    docs/PERF.md) in fewer device steps: each verify pass costs ~one decode
+    step (b1 decode is weight-bandwidth-bound) but commits 1..draft_k+1
+    tokens. The reference reaches the same technique through HF assisted
+    decoding (``generate(prompt_lookup_num_tokens=...)``); here it is a
+    static-shape ``lax.while_loop`` on device (ops/speculative.py).
 
     Returns ops.speculative.SpecResult.
     """
@@ -433,25 +430,29 @@ def spec_decode(
         spec_mask,
     )
 
-    b, t = ids.shape
+    b, t = corpus.shape
     k = draft_k
-    max_len = cache.max_len
-    assert max_len >= spec_cache_len(t, max_new_tokens, k), \
-        "spec_decode cache lacks the draft_k+1 verify slack"
+    # the KV cache needs k+1 write slack past prompt+generation: callers
+    # must allocate spec_cache_len(prompt_bucket, max_new, k) (the prompt
+    # part is dynamic, so only the generation+slack term is checkable here)
+    assert cache.max_len >= max_new_tokens + k + 1, \
+        "spec cache lacks the draft_k+1 verify slack"
+    # the history buffer needs the full corpus + generation + slack
+    hist_w = t + max_new_tokens + k + 1
     eos = jnp.asarray(eos_ids, jnp.int32)
     cd = resolve_dtype(cfg.decoder.compute_dtype)
 
-    tok0 = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    tok0 = tok0.astype(jnp.int32)
     done0 = jnp.isin(tok0, eos) | (max_new_tokens <= 1)
 
     buf = max_new_tokens + k + 1
     out = jnp.zeros((b, buf), jnp.int32).at[:, 0].set(tok0)
-    # token history = prompt + generated, for the n-gram draft lookup
-    hist = jnp.zeros((b, max_len), jnp.int32)
-    hist = lax.dynamic_update_slice(hist, ids, (0, 0))
+    # token history = corpus + generated, for the n-gram draft lookup
+    hist = jnp.zeros((b, hist_w), jnp.int32)
+    hist = lax.dynamic_update_slice(hist, corpus, (0, 0))
     hist = jax.vmap(lambda h, v, s: lax.dynamic_update_slice(h, v, (s,)))(
-        hist, tok0[:, None], seq_lens)
-    hist_len = seq_lens + 1
+        hist, tok0[:, None], corpus_lens)
+    hist_len = corpus_lens + 1
 
     def masked_write(bufrow, vec, start, count):
         """Write vec[:count] into bufrow at start (static-width k+1 window;
@@ -511,6 +512,52 @@ def spec_decode(
     return SpecResult(tokens=out[:, :max_new_tokens],
                       num_generated=num.astype(jnp.int32),
                       steps=steps, drafted=dr, accepted=ac)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "max_new_tokens", "eos_ids", "draft_k", "ngram_n"),
+)
+def spec_decode(
+    params: Params,
+    cfg: FastVLMConfig,
+    logits: jnp.ndarray,     # (B, V) prefill logits
+    cache: KVCache,          # max_len >= spec_cache_len(...)
+    ids: jnp.ndarray,        # (B, T) prompt ids (the n-gram draft corpus)
+    seq_lens: jnp.ndarray,   # (B,)
+    *,
+    max_new_tokens: int = 256,
+    eos_ids: Tuple[int, ...] = (151645,),
+    draft_k: int = 8,
+    ngram_n: int = 3,
+):
+    """Greedy speculative decode after prefill (see _spec_loop)."""
+    tok0 = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    return _spec_loop(params, cfg, tok0, cache, ids, seq_lens,
+                      max_new_tokens, eos_ids, draft_k, ngram_n)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "max_new_tokens", "eos_ids", "draft_k", "ngram_n"),
+)
+def spec_decode_from_tok(
+    params: Params,
+    cfg: FastVLMConfig,
+    tok0: jnp.ndarray,       # (B,) already-sampled first token (greedy)
+    cache: KVCache,
+    corpus: jnp.ndarray,     # (B, T) draft corpus — e.g. prompt + the
+    corpus_lens: jnp.ndarray,  # previous video frame's answer (video.py)
+    *,
+    max_new_tokens: int = 256,
+    eos_ids: Tuple[int, ...] = (151645,),
+    draft_k: int = 8,
+    ngram_n: int = 3,
+):
+    """Greedy speculative decode for callers that already fetched the first
+    token (the video loop's TTFT sync happens before decode dispatch)."""
+    return _spec_loop(params, cfg, tok0, cache, corpus, corpus_lens,
+                      max_new_tokens, eos_ids, draft_k, ngram_n)
 
 
 def generate_spec(

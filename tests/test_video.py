@@ -111,6 +111,44 @@ def test_engine_prepare_array_image_shapes():
         assert out.shape == (b, s, s, 3), (shape, out.shape)
 
 
+def test_spec_video_matches_plain_and_accepts_across_frames():
+    """spec=True must answer exactly like the plain greedy loop (CPU f32),
+    and the previous-answer corpus seeding must land accepted drafts on a
+    repeated frame."""
+    engine = build_engine(random_tiny=True)
+    frames = [np.random.RandomState(s).rand(256, 256, 3).astype(np.float32)
+              for s in (0, 1)]
+
+    vq = VideoQA(engine, "What do you see?", max_new_tokens=12)
+    plain = [vq.ask(f) for f in (frames[0], frames[1], frames[0])]
+
+    vq_s = VideoQA(engine, "What do you see?", max_new_tokens=12, spec=True,
+                   draft_k=4)
+    spec = [vq_s.ask(f) for f in (frames[0], frames[1], frames[0])]
+
+    assert [t for t, _ in spec] == [t for t, _ in plain]
+    assert [s["tokens"] for _, s in spec] == [s["tokens"] for _, s in plain]
+    # frame 3 repeats frame 1 -> its full answer sits in the corpus; the
+    # lookup should verify multi-token spans (strictly positive acceptance)
+    assert spec[2][1]["spec_accept_rate"] > 0
+
+    # pipelined spec path agrees too
+    vq_p = VideoQA(engine, "What do you see?", max_new_tokens=12, spec=True,
+                   draft_k=4)
+    piped = [t for t, _ in qa_over_stream(
+        vq_p, [frames[0], frames[1], frames[0]], latest_only=False,
+        pipelined=True)]
+    assert piped == [t for t, _ in plain]
+
+    import pytest
+
+    from fastvlm_tpu.ops.sampling import SamplingParams
+
+    with pytest.raises(ValueError):
+        VideoQA(engine, "x", spec=True,
+                sampling=SamplingParams(temperature=0.7))
+
+
 def test_pipelined_stream_matches_sequential():
     """Double-buffered dispatch/finish must yield the same answers as the
     sequential ask() loop (greedy, same frames)."""
