@@ -396,6 +396,62 @@ def spec_cache_len(prompt_bucket: int, max_new_tokens: int,
     return prompt_bucket + max_new_tokens + draft_k + 1
 
 
+def _spec_verify_pass(params, cfg, last_tok, done, num, cache, hist, hist_len,
+                      *, k, ngram_n, eos, max_new_tokens, cd):
+    """One speculative verify pass: draft k tokens from the history, run the
+    decoder over [last_tok, draft] in one step, accept the longest matching
+    prefix + the bonus token (EOS/budget-truncated). Shared by the
+    whole-generation loop (_spec_loop) and the streaming chunk
+    (spec_stream_chunk).
+
+    Returns (g (B, k+1) verified tokens, count (B,) committed, done',
+    last_tok', cache', hist', hist_len').
+    """
+    from fastvlm_tpu.ops.speculative import (
+        accept_counts,
+        ngram_draft,
+        spec_mask,
+    )
+
+    active = ~done
+    draft = ngram_draft(hist, hist_len, k, n=ngram_n)
+    seq = jnp.concatenate([last_tok[:, None], draft], axis=1)  # (B, k+1)
+    embeds = qwen2.embed(params["decoder"], seq).astype(cd)
+    lengths = cache.lengths
+    positions = lengths[:, None] + jnp.arange(k + 1, dtype=jnp.int32)[None]
+    mask = spec_mask(lengths, k + 1, cache.max_len,
+                     window=cfg.decoder.attn_window)
+    hidden, cache = qwen2.forward(
+        params["decoder"], cfg.decoder, embeds, positions,
+        cache=cache, mask=mask, prefill=False,
+    )
+    logits = qwen2.logits_from_hidden(params["decoder"], hidden, cfg.decoder)
+    g = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B, k+1)
+
+    a = accept_counts(draft, g[:, :k])          # accepted draft prefix
+    count = a + 1                               # + the bonus token
+    # truncate at the first EOS within the committed span
+    j = jnp.arange(k + 1)[None, :]
+    is_eos = jnp.isin(g, eos) & (j < count[:, None])
+    hit = jnp.any(is_eos, axis=-1)
+    count = jnp.where(hit, jnp.argmax(is_eos, axis=-1) + 1, count)
+    count = jnp.minimum(count, max_new_tokens - num)  # budget cap
+    count = jnp.where(active, count, 0)
+    done = done | hit | (num + count >= max_new_tokens)
+
+    def masked_write(bufrow, vec, start, count):
+        old = lax.dynamic_slice(bufrow, (start,), (k + 1,))
+        vec = jnp.where(jnp.arange(k + 1) < count, vec, old)
+        return lax.dynamic_update_slice(bufrow, vec, (start,))
+
+    hist = jax.vmap(masked_write)(hist, g, hist_len, count)
+    new_last = jnp.take_along_axis(
+        g, jnp.clip(count - 1, 0, k)[:, None], axis=1)[:, 0]
+    last_tok = jnp.where(count > 0, new_last, last_tok)
+    cache = cache._replace(lengths=lengths + count)
+    return g, count, done, last_tok, cache, hist, hist_len + count
+
+
 def _spec_loop(
     params: Params,
     cfg: FastVLMConfig,
@@ -423,12 +479,7 @@ def _spec_loop(
 
     Returns ops.speculative.SpecResult.
     """
-    from fastvlm_tpu.ops.speculative import (
-        SpecResult,
-        accept_counts,
-        ngram_draft,
-        spec_mask,
-    )
+    from fastvlm_tpu.ops.speculative import SpecResult
 
     b, t = corpus.shape
     k = draft_k
@@ -467,42 +518,15 @@ def _spec_loop(
     def body(state):
         step, out, num, done, last_tok, cache, hist, hist_len, dr, ac = state
         active = ~done
-        draft = ngram_draft(hist, hist_len, k, n=ngram_n)
-        seq = jnp.concatenate([last_tok[:, None], draft], axis=1)  # (B, k+1)
-        embeds = qwen2.embed(params["decoder"], seq).astype(cd)
-        lengths = cache.lengths
-        positions = lengths[:, None] + jnp.arange(k + 1, dtype=jnp.int32)[None]
-        mask = spec_mask(lengths, k + 1, cache.max_len,
-                         window=cfg.decoder.attn_window)
-        hidden, cache = qwen2.forward(
-            params["decoder"], cfg.decoder, embeds, positions,
-            cache=cache, mask=mask, prefill=False,
-        )
-        logits = qwen2.logits_from_hidden(params["decoder"], hidden,
-                                          cfg.decoder)
-        g = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B, k+1)
-
-        a = accept_counts(draft, g[:, :k])          # accepted draft prefix
-        count = a + 1                               # + the bonus token
-        # truncate at the first EOS within the committed span
-        j = jnp.arange(k + 1)[None, :]
-        is_eos = jnp.isin(g, eos) & (j < count[:, None])
-        hit = jnp.any(is_eos, axis=-1)
-        count = jnp.where(hit, jnp.argmax(is_eos, axis=-1) + 1, count)
-        count = jnp.minimum(count, max_new_tokens - num)  # budget cap
-        count = jnp.where(active, count, 0)
-        done = done | hit | (num + count >= max_new_tokens)
-
+        g, count, done, last_tok, cache, hist, hist_len = _spec_verify_pass(
+            params, cfg, last_tok, done, num, cache, hist, hist_len,
+            k=k, ngram_n=ngram_n, eos=eos, max_new_tokens=max_new_tokens,
+            cd=cd)
         out = jax.vmap(masked_write)(out, g, num, count)
-        hist = jax.vmap(masked_write)(hist, g, hist_len, count)
-        new_last = jnp.take_along_axis(
-            g, jnp.clip(count - 1, 0, k)[:, None], axis=1)[:, 0]
-        last_tok = jnp.where(count > 0, new_last, last_tok)
-        cache = cache._replace(lengths=lengths + count)
         dr = dr + jnp.sum(jnp.where(active, k, 0))
         ac = ac + jnp.sum(jnp.where(active, count - 1, 0))
         return (step + 1, out, num + count, done, last_tok, cache,
-                hist, hist_len + count, dr, ac)
+                hist, hist_len, dr, ac)
 
     state = (jnp.int32(0), out, jnp.ones((b,), jnp.int32), done0, tok0,
              cache, hist, hist_len, jnp.int32(0), jnp.int32(0))
@@ -558,6 +582,97 @@ def spec_decode_from_tok(
     token (the video loop's TTFT sync happens before decode dispatch)."""
     return _spec_loop(params, cfg, tok0, cache, corpus, corpus_lens,
                       max_new_tokens, eos_ids, draft_k, ngram_n)
+
+
+class SpecCarry(NamedTuple):
+    """Resumable speculative-decode state threaded between streaming chunks
+    (Engine.stream(spec=True) fetches tokens chunk-by-chunk)."""
+    last_tok: jnp.ndarray   # (B,)
+    done: jnp.ndarray       # (B,) bool
+    num: jnp.ndarray        # (B,) tokens generated so far (incl. tok0)
+    cache: KVCache
+    hist: jnp.ndarray       # (B, W) corpus + generated tokens
+    hist_len: jnp.ndarray   # (B,)
+
+
+def spec_carry_init(
+    cfg: FastVLMConfig,
+    tok0: jnp.ndarray,
+    cache: KVCache,
+    corpus: jnp.ndarray,
+    corpus_lens: jnp.ndarray,
+    *,
+    max_new_tokens: int,
+    draft_k: int,
+    eos_ids: Tuple[int, ...],
+) -> SpecCarry:
+    """Build the initial streaming carry after prefill (tok0 already
+    sampled/fetched for TTFT). Host-side light ops only."""
+    b, t = corpus.shape
+    hist_w = t + max_new_tokens + draft_k + 1
+    hist = jnp.zeros((b, hist_w), jnp.int32)
+    hist = lax.dynamic_update_slice(hist, corpus, (0, 0))
+    hist = jax.vmap(lambda h, v, s: lax.dynamic_update_slice(h, v, (s,)))(
+        hist, tok0[:, None].astype(jnp.int32), corpus_lens)
+    done = jnp.isin(tok0, jnp.asarray(eos_ids, jnp.int32)) \
+        | (max_new_tokens <= 1)
+    return SpecCarry(last_tok=tok0.astype(jnp.int32), done=done,
+                     num=jnp.ones((b,), jnp.int32), cache=cache,
+                     hist=hist, hist_len=corpus_lens + 1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "m", "max_new_tokens", "eos_ids", "draft_k",
+                     "ngram_n"),
+)
+def spec_stream_chunk(
+    params: Params,
+    cfg: FastVLMConfig,
+    carry: SpecCarry,
+    *,
+    m: int = 4,              # verify passes per dispatch
+    max_new_tokens: int = 256,
+    eos_ids: Tuple[int, ...] = (151645,),
+    draft_k: int = 8,
+    ngram_n: int = 3,
+):
+    """Run up to ``m`` speculative verify passes in ONE device dispatch.
+
+    The streaming analogue of decode_chunk: each dispatch commits between m
+    and m*(draft_k+1) tokens (vs exactly k for decode_chunk), so the host
+    fetch cadence stays chunky while decode runs 1.5-2x faster
+    (docs/PERF.md). Returns (tokens (B, m*(k+1)) zero-padded, counts (B,),
+    carry') — tokens/counts cover THIS chunk only.
+    """
+    k = draft_k
+    eos = jnp.asarray(eos_ids, jnp.int32)
+    cd = resolve_dtype(cfg.decoder.compute_dtype)
+    b = carry.last_tok.shape[0]
+    width = m * (k + 1)
+
+    def body(state, _):
+        carry, out, off = state
+        g, count, done, last_tok, cache, hist, hist_len = _spec_verify_pass(
+            params, cfg, carry.last_tok, carry.done, carry.num, carry.cache,
+            carry.hist, carry.hist_len, k=k, ngram_n=ngram_n, eos=eos,
+            max_new_tokens=max_new_tokens, cd=cd)
+
+        def wr(row, vec, start, cnt):
+            old = lax.dynamic_slice(row, (start,), (k + 1,))
+            vec = jnp.where(jnp.arange(k + 1) < cnt, vec, old)
+            return lax.dynamic_update_slice(row, vec, (start,))
+
+        out = jax.vmap(wr)(out, g, off, count)
+        carry = SpecCarry(last_tok=last_tok, done=done,
+                          num=carry.num + count, cache=cache,
+                          hist=hist, hist_len=hist_len)
+        return (carry, out, off + count), None
+
+    out0 = jnp.zeros((b, width + k + 1), jnp.int32)  # +k+1 write slack
+    (carry, out, counts), _ = lax.scan(
+        body, (carry, out0, jnp.zeros((b,), jnp.int32)), None, length=m)
+    return out[:, :width], counts, carry
 
 
 def generate_spec(

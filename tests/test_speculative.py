@@ -148,6 +148,42 @@ def test_engine_generate_spec_matches_greedy_stream():
     assert 0.0 <= stats["spec_accept_rate"] <= 1.0
 
 
+def test_engine_stream_spec_matches_greedy_stream():
+    """Streaming surface: spec=True yields the same final text as plain
+    greedy streaming, with incremental chunks that are prefixes of it
+    (worker cadence preserved — engine.stream spec branch)."""
+    import numpy as onp
+
+    from fastvlm_tpu.engine import build_engine
+
+    eng = build_engine(random_tiny=True, platform="cpu")
+    img = onp.zeros((256, 256, 3), onp.float32)
+    prompt = eng.build_prompt("describe describe describe")
+    ref = list(eng.stream(prompt, img, max_new_tokens=16))
+    got = list(eng.stream(prompt, img, max_new_tokens=16, spec=True))
+    assert got[-1]["text"] == ref[-1]["text"]
+    assert len(got) >= 2  # TTFT chunk + at least one decode chunk
+    for c in got:
+        assert got[-1]["text"].startswith(c["text"])
+    assert got[-1]["stats"]["spec_steps"] >= 1
+    # budget cap: a tiny budget commits exactly that many tokens
+    small = list(eng.stream(prompt, img, max_new_tokens=3, spec=True))
+    assert small[-1]["stats"]["decode_tokens"] <= 3
+
+
+def test_engine_stream_spec_rejects_sampling():
+    import numpy as onp
+
+    from fastvlm_tpu.engine import build_engine
+    from fastvlm_tpu.ops.sampling import SamplingParams
+
+    eng = build_engine(random_tiny=True, platform="cpu")
+    img = onp.zeros((256, 256, 3), onp.float32)
+    with pytest.raises(ValueError, match="greedy"):
+        next(eng.stream(eng.build_prompt("hi"), img, spec=True,
+                        sampling=SamplingParams(temperature=0.7)))
+
+
 def test_spec_budget_cap_exact():
     """num_generated never exceeds max_new_tokens even mid-acceptance."""
     rows = [[11, 12, 13, 14] * 5]
