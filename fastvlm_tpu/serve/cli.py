@@ -21,7 +21,14 @@ def main(argv=None):
     parser.add_argument("--random-weights", action="store_true")
     parser.add_argument("--dtype", default="bfloat16")
     parser.add_argument("--timing", action="store_true")
+    parser.add_argument("--spec", action="store_true",
+                        help="prompt-lookup speculative streaming (greedy "
+                             "only: requires --temperature 0; exact same "
+                             "tokens, fewer device steps)")
+    parser.add_argument("--spec-draft-k", type=int, default=8)
     args = parser.parse_args(argv)
+    if args.spec and args.temperature > 0:
+        parser.error("--spec is greedy-only; pass --temperature 0")
 
     from fastvlm_tpu.data.constants import DEFAULT_IMAGE_TOKEN
     from fastvlm_tpu.data.conversation import conv_templates
@@ -65,6 +72,7 @@ def main(argv=None):
         for update in engine.stream(
             prompt, image,
             max_new_tokens=args.max_new_tokens, sampling=sampling,
+            spec=args.spec, draft_k=args.spec_draft_k,
         ):
             text = update["text"]
             print(text[shown:], end="", flush=True)

@@ -16,6 +16,7 @@ class ErrorCode:
     SERVER_ERROR = 1
     OUT_OF_MEMORY = 2
     OVERLOADED = 3
+    CLIENT_ERROR = 4
 
 
 SERVER_ERROR_MSG = (

@@ -47,9 +47,19 @@ class ModelWorker:
         continuous_batching: bool = False,
         page_size: int = 64,
         pool_tokens: int = 16384,
+        spec_decode: bool = False,
+        spec_draft_k: int = 8,
     ):
         self.engine = engine
         self.model_name = model_name
+        # worker-level default for prompt-lookup speculative streaming
+        # (greedy-only; sampled requests fall back to dense decode). Not
+        # composed with the continuous-batching scheduler, which runs its
+        # own shared decode loop.
+        self.spec_decode = spec_decode and not continuous_batching
+        if spec_decode and continuous_batching:
+            logger.warning("--spec-decode ignored with --continuous-batching")
+        self.spec_draft_k = spec_draft_k
         self.worker_id = uuid.uuid4().hex[:8]
         self.worker_addr = worker_addr
         self.controller_addr = controller_addr
@@ -148,10 +158,26 @@ class ModelWorker:
             stop_strings = [stop] if isinstance(stop, str) else list(stop or [])
             max_new = min(int(payload.get("max_new_tokens", 256)), 1024)
 
+            # per-request "spec" overrides the worker default; speculative
+            # streaming is exact-greedy, so sampled requests always decode
+            # dense (an explicit spec+temperature request is a client error)
+            spec = bool(payload.get("spec", self.spec_decode))
+            if spec and temperature > 0:
+                if "spec" in payload:
+                    yield chunk("spec decoding is greedy-only; "
+                                "set temperature 0", ErrorCode.CLIENT_ERROR)
+                    return
+                spec = False
+
             if self.scheduler is not None:
                 stream = self.scheduler.submit(
                     prompt, image, max_new_tokens=max_new, sampling=sampling,
                     stop_strings=tuple(stop_strings))
+            elif spec:
+                stream = self.engine.stream(
+                    prompt, image, max_new_tokens=max_new, sampling=sampling,
+                    stop_strings=stop_strings, spec=True,
+                    draft_k=self.spec_draft_k)
             else:
                 stream = self.engine.stream(
                     prompt, image, max_new_tokens=max_new, sampling=sampling,
@@ -351,6 +377,12 @@ def main(argv=None):
                         help="paged-KV pool capacity in tokens (HBM bound)")
     parser.add_argument("--continuous-batching", action="store_true",
                         help="batch concurrent requests into one decode loop")
+    parser.add_argument("--spec-decode", action="store_true",
+                        help="default greedy requests to prompt-lookup "
+                             "speculative streaming (exact same tokens, "
+                             "fewer device steps)")
+    parser.add_argument("--spec-draft-k", type=int, default=8,
+                        help="speculative draft length per verify pass")
     parser.add_argument("--dtype", default="bfloat16")
     parser.add_argument("--platform", default=None,
                         help="force jax backend (cpu/axon/tpu)")
@@ -367,7 +399,9 @@ def main(argv=None):
                          limit_concurrency=args.limit_model_concurrency,
                          continuous_batching=args.continuous_batching,
                          page_size=args.kv_page_size,
-                         pool_tokens=args.kv_pool_tokens)
+                         pool_tokens=args.kv_pool_tokens,
+                         spec_decode=args.spec_decode,
+                         spec_draft_k=args.spec_draft_k)
     web.run_app(build_app(worker), host=args.host, port=args.port)
 
 

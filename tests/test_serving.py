@@ -97,6 +97,58 @@ def test_worker_http_stream_roundtrip():
     assert msgs[-1]["stats"]["decode_tokens"] >= 0
 
 
+def test_worker_spec_decode_matches_dense():
+    """--spec-decode worker streams the SAME greedy text as a dense worker
+    (speculative streaming is exact-greedy); per-request spec+temperature is
+    a client error, and spec requests report spec_steps in final stats."""
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from fastvlm_tpu.engine import build_engine
+    from fastvlm_tpu.serve.worker import ModelWorker, build_app
+
+    engine = build_engine(random_tiny=True)
+    worker = ModelWorker(engine, "tiny", spec_decode=True, spec_draft_k=4)
+    app = build_app(worker)
+
+    async def run():
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            req = {"prompt": "the cat sat on the mat the cat",
+                   "temperature": 0.0, "max_new_tokens": 12}
+            resp = await client.post("/worker_generate_stream", json=req)
+            spec_msgs = list(iter_chunks([await resp.read()]))
+
+            # worker default is spec; per-request spec=false forces dense
+            resp = await client.post("/worker_generate_stream",
+                                     json={**req, "spec": False})
+            dense_msgs = list(iter_chunks([await resp.read()]))
+
+            # sampled request with worker spec default: silent dense fallback
+            resp = await client.post("/worker_generate_stream",
+                                     json={**req, "temperature": 0.7})
+            sampled_msgs = list(iter_chunks([await resp.read()]))
+
+            # explicit spec + temperature: client error
+            resp = await client.post(
+                "/worker_generate_stream",
+                json={**req, "spec": True, "temperature": 0.7})
+            err_msgs = list(iter_chunks([await resp.read()]))
+            return spec_msgs, dense_msgs, sampled_msgs, err_msgs
+        finally:
+            await client.close()
+
+    spec_msgs, dense_msgs, sampled_msgs, err_msgs = asyncio.run(run())
+    assert spec_msgs and dense_msgs
+    assert all(m["error_code"] == ErrorCode.OK for m in spec_msgs)
+    assert spec_msgs[-1]["text"] == dense_msgs[-1]["text"]
+    assert spec_msgs[-1]["stats"].get("spec_steps", 0) > 0
+    assert "spec_steps" not in dense_msgs[-1]["stats"]
+    assert all(m["error_code"] == ErrorCode.OK for m in sampled_msgs)
+    assert "spec_steps" not in sampled_msgs[-1]["stats"]
+    assert err_msgs[-1]["error_code"] == ErrorCode.CLIENT_ERROR
+
+
 def test_controller_http_endpoints():
     from aiohttp.test_utils import TestClient, TestServer
 
