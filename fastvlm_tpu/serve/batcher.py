@@ -10,8 +10,13 @@ decode loop and demultiplexes streams per request:
     bucketed to a common prompt length, and prefilled together;
   * the decode loop runs jitted k-token chunks over the whole batch; each
     request's tokens stream to its own queue as they decode;
-  * finished rows are masked (done) while the rest continue — a finished
-    request costs nothing but its cache rows;
+  * a request's stream closes the moment ITS row finishes (pages released
+    on the spot) — clients never wait for the rest of the batch;
+  * **continuous batching** (paged mode): at every chunk boundary, freed
+    rows admit queued compatible requests — the new prompt prefills
+    straight into the shared page pool through a 1-row cache view, so a
+    request arriving mid-batch waits at most one chunk (~k tokens), not a
+    whole generation (the window batcher's p95 TTFT failure mode);
   * grouping keys include sampling params (they are static under jit).
 
 Static-shape discipline: batch sizes are bucketed to {1, 2, 4, 8}, prompt
@@ -221,20 +226,24 @@ class BatchScheduler:
             lengths=jnp.zeros((b,), jnp.int32))
         return cache, row_pages, tables
 
-    def _grow_pages(self, cache, tables, row_pages, lens_host, finished,
-                    n_real, chunk_idx, k, reasons=None):
-        """Chunk-boundary page accounting: free finished rows' pages, map
-        pages covering the next k tokens of each active row. Exhaustion
+    def _grow_pages(self, cache, tables, row_pages, cur_len, finished, slots,
+                    k, reasons=None, force=False):
+        """Chunk-boundary page accounting: free straggler pages of finished
+        rows, map pages covering the next k tokens of each active row
+        (``cur_len[i]`` = row i's current device length). Exhaustion
         truncates the row (finishes it) rather than stalling the batch;
         ``reasons[i]`` records "truncated" so the client can tell a cut
-        answer from a complete one (ADVICE r2)."""
+        answer from a complete one (ADVICE r2). ``force`` pushes the host
+        tables to the device even with no new mappings (a just-closed row
+        zeroed its table so its post-finish writes drop instead of landing
+        in pages the pool may re-issue)."""
         import jax.numpy as jnp
 
         page = self.page_size
         pps = tables.shape[1]
-        changed = False
-        for i in range(n_real):
-            if finished[i]:
+        changed = force
+        for i in range(len(finished)):
+            if finished[i] or slots[i] is None:
                 if row_pages[i]:
                     self.pool.release(row_pages[i])
                     row_pages[i] = []
@@ -242,7 +251,7 @@ class BatchScheduler:
                     changed = True
                 continue
             # device lengths advance k per chunk for every row
-            target = min(lens_host[i] + (chunk_idx + 1) * k, pps * page)
+            target = min(cur_len[i] + k, pps * page)
             need = -(-target // page)
             delta = need - len(row_pages[i])
             if delta <= 0:
@@ -251,7 +260,8 @@ class BatchScheduler:
             if got is None:
                 logger.warning(
                     "page pool exhausted (%d rows in flight); truncating row %d",
-                    sum(not f for f in finished[:n_real]), i)
+                    sum(sl is not None and not f
+                        for sl, f in zip(slots, finished)), i)
                 finished[i] = True
                 if reasons is not None:
                     reasons[i] = "truncated"
@@ -266,6 +276,16 @@ class BatchScheduler:
         if changed:
             cache = cache._replace(block_tables=jnp.asarray(tables))
         return cache
+
+    def _batchable(self, r: _Request) -> bool:
+        """Requests the batched decode loop can serve (anyres PIL merges and
+        multi-image prompts have ragged token counts — served serially)."""
+        cfg = self.engine.cfg
+        anyres = (cfg.image_aspect_ratio == "anyres"
+                  and cfg.image_grid_pinpoints
+                  and hasattr(r.image, "convert"))
+        multi = isinstance(r.image, (list, tuple)) and len(r.image) > 1
+        return not (anyres or multi)
 
     def _run_batch(self, batch: List[_Request]):
         import jax
@@ -320,10 +340,11 @@ class BatchScheduler:
         ids, lens, starts = pad_batch(rows, starts_l, pad_to)
 
         max_new = max(r.max_new_tokens for r in batch)
-        lens_host = [len(r) for r in rows]
+        # cur_len[i] = row i's current device length (prompt now; +k per chunk)
+        cur_len = [len(r) for r in rows]
         cache = row_pages = tables = None
         if self.paged:
-            made = self._paged_cache(b, pad_to, max_new, lens_host, n_real)
+            made = self._paged_cache(b, pad_to, max_new, cur_len, n_real)
             if made is None:
                 logger.warning("page pool (%d pages) can't hold batch prompts;"
                                " dense fallback", self.pool.num_pages)
@@ -333,6 +354,163 @@ class BatchScheduler:
             cache = init_cache(cfg.decoder.num_layers, b, pad_to + max_new,
                                cfg.decoder.num_kv_heads, cfg.decoder.head_dim,
                                engine._kv_dtype)
+
+        sampling = batch[0].sampling
+        group_key = self._group_key(batch[0])
+        # slot state: slots[i] = the request occupying row i (None = free).
+        # Freed rows are re-filled by continuous admission (paged mode).
+        slots: List[Optional[_Request]] = [
+            batch[i] if i < n_real else None for i in range(b)]
+        texts: List[List[int]] = [[] for _ in range(b)]
+        finished = [slots[i] is None for i in range(b)]
+        # per-row finish reason: None while streaming, then "stop" (eos/
+        # stop string), "length" (max_new cap), or "truncated" (pool
+        # exhaustion — distinguishes a cut answer from a complete one)
+        reasons: List[Optional[str]] = [None] * b
+        caps = [slots[i].max_new_tokens if slots[i] else 0 for i in range(b)]
+        emitted = [0] * b
+        ttfts = [0.0] * b
+        queue_ms = [0.0] * b
+        tables_dirty = False  # host tables changed; push at next boundary
+
+        def n_active() -> int:
+            return sum(sl is not None for sl in slots)
+
+        def emit(i: int):
+            """Push row i's cumulative update; the moment the row finishes,
+            close ITS stream (sentinel) and release its pages — clients never
+            wait for the rest of the batch to drain."""
+            nonlocal tables_dirty
+            r = slots[i]
+            text = engine.tokenizer.decode(texts[i], skip_special_tokens=True)
+            for ss in r.stop_strings:
+                if ss and ss in text:
+                    text = text.split(ss)[0]
+                    finished[i] = True
+                    reasons[i] = reasons[i] or "stop"
+            if finished[i] and reasons[i] is None:
+                reasons[i] = "length" if emitted[i] >= caps[i] else "stop"
+            r.out.put({"text": text,
+                       "stats": {"ttft_ms": round(ttfts[i], 2),
+                                 "queue_ms": round(queue_ms[i], 2),
+                                 "decode_tokens": len(texts[i]),
+                                 "batch_size": n_active(),
+                                 "finish_reason": reasons[i]}})
+            if finished[i]:
+                r.out.put(_SENTINEL)
+                if tables is not None and row_pages[i]:
+                    self.pool.release(row_pages[i])
+                    row_pages[i] = []
+                    tables[i, :] = -1
+                    tables_dirty = True  # device writes must drop next chunk
+                slots[i] = None
+
+        def first_token(i: int, t: int):
+            """Record row i's prefill-sampled token and stream the first
+            update (closing immediately on EOS / a 1-token cap)."""
+            if t in engine.eos_ids:
+                finished[i] = True
+                reasons[i] = "stop"
+            else:
+                texts[i].append(t)
+                emitted[i] = 1
+                if emitted[i] >= caps[i]:
+                    finished[i] = True
+                    reasons[i] = "length"
+            emit(i)
+
+        def try_admit(cache, tok, done, key):
+            """Continuous batching (the TPU answer to the reference's
+            serialize-behind-a-semaphore worker, model_worker.py:231-244,
+            scaled past window batching): fill freed rows with queued
+            compatible requests at a chunk boundary. The prompt prefills
+            through a 1-row PagedKVCache view over the SAME pool arrays, so
+            its KV lands directly in the pages just allocated for it; the
+            batch cache is then rebuilt around the returned pool arrays."""
+            nonlocal tables_dirty
+            from fastvlm_tpu.ops.kv_cache import PagedKVCache
+            ht = hd = None  # lazy host copies of (tok, done)
+            while n_active() < b and not self._stop:
+                try:
+                    r = self.queue.get_nowait()
+                except queue.Empty:
+                    break
+                if self._group_key(r) != group_key or not self._batchable(r):
+                    self.queue.put(r)  # next batch serves it (FIFO-ish)
+                    break
+                try:
+                    prep = engine.prepare(r.prompt, r.image)
+                except Exception as e:  # a bad request must not kill the batch
+                    logger.exception("admission prepare failed")
+                    r.out.put({"error": str(e)})
+                    r.out.put(_SENTINEL)
+                    continue
+                plen = int(np.asarray(prep["lens"])[0])
+                pps = tables.shape[1]
+                if plen + r.max_new_tokens > pps * self.page_size:
+                    self.queue.put(r)  # doesn't fit this batch's table width
+                    break
+                need = -(-plen // self.page_size)
+                got = self.pool.alloc(need)
+                if got is None:
+                    self.queue.put(r)  # pool full; retry next boundary
+                    break
+                i = slots.index(None)
+                tables[i, :] = -1
+                tables[i, :need] = got
+                row_pages[i] = got
+                view = PagedKVCache(
+                    k_pages=cache.k_pages, v_pages=cache.v_pages,
+                    block_tables=jnp.asarray(tables[i:i + 1]),
+                    lengths=jnp.zeros((1,), jnp.int32))
+                wait_ms = (time.perf_counter() - r.t_submit) * 1000
+                t0 = time.perf_counter()
+                try:
+                    logits, view = engine._prefill_jit(
+                        engine.params, prep["images"], prep["ids"],
+                        prep["lens"], prep["starts"], view,
+                        vis=prep["vision_embeds"])
+                except Exception as e:
+                    # prefill doesn't donate: the pool arrays are intact —
+                    # fail this request alone and keep the batch alive
+                    logger.exception("admission prefill failed")
+                    self.pool.release(row_pages[i])
+                    row_pages[i] = []
+                    tables[i, :] = -1
+                    tables_dirty = True
+                    r.out.put({"error": str(e)})
+                    r.out.put(_SENTINEL)
+                    continue
+                key, sub = jax.random.split(key)
+                t_new = int(np.asarray(sample(sub, logits, sampling))[0])
+                if ht is None:
+                    ht = np.asarray(tok).copy()
+                    hd = np.asarray(done).copy()
+                lengths = np.asarray(cache.lengths).copy()
+                lengths[i] = plen
+                cache = cache._replace(
+                    k_pages=view.k_pages, v_pages=view.v_pages,
+                    block_tables=jnp.asarray(tables),
+                    lengths=jnp.asarray(lengths))
+                tables_dirty = False  # _replace above pushed them
+                slots[i] = r
+                batch.append(r)  # failure envelopes reach admitted rows too
+                texts[i] = []
+                finished[i] = False
+                reasons[i] = None
+                caps[i] = r.max_new_tokens
+                emitted[i] = 0
+                cur_len[i] = plen
+                ttfts[i] = (time.perf_counter() - t0) * 1000
+                queue_ms[i] = wait_ms
+                first_token(i, t_new)
+                ht[i] = t_new
+                hd[i] = finished[i] or slots[i] is None
+            if ht is not None:
+                tok = jnp.asarray(ht)
+                done = jnp.asarray(hd)
+            return cache, tok, done, key
+
         batch_ok = False
         try:
             # everything from the prefill dispatch onward runs under
@@ -342,65 +520,44 @@ class BatchScheduler:
             logits, cache = engine._prefill_jit(
                 engine.params, jnp.asarray(np.stack(imgs), engine._dtype),
                 jnp.asarray(ids), jnp.asarray(lens), jnp.asarray(starts), cache)
-            sampling = batch[0].sampling
             key = jax.random.PRNGKey(time.time_ns() % 2**31)
             key, sub = jax.random.split(key)
             tok = sample(sub, logits, sampling)
             ttft_ms = (time.perf_counter() - t0) * 1000
 
             host_tok = np.asarray(tok)
-            texts: List[List[int]] = [[] for _ in range(b)]
-            finished = [i >= n_real for i in range(b)]
-            # per-row finish reason: None while streaming, then "stop" (eos/
-            # stop string), "length" (max_new cap), or "truncated" (pool
-            # exhaustion — distinguishes a cut answer from a complete one)
-            reasons: List[Optional[str]] = [None] * b
-            caps = [batch[i].max_new_tokens if i < n_real else 0
-                    for i in range(b)]
-            emitted = [1] * b
-
-            def push_updates():
-                for i, r in enumerate(batch):
-                    text = engine.tokenizer.decode(
-                        texts[i], skip_special_tokens=True)
-                    for ss in r.stop_strings:
-                        if ss and ss in text:
-                            text = text.split(ss)[0]
-                            finished[i] = True
-                            reasons[i] = reasons[i] or "stop"
-                    r.out.put({"text": text,
-                               "stats": {"ttft_ms": round(ttft_ms, 2),
-                                         "decode_tokens": len(texts[i]),
-                                         "batch_size": n_real,
-                                         "finish_reason": reasons[i]}})
-
             for i in range(b):
-                t = int(host_tok[i])
-                if i < n_real and t not in engine.eos_ids:
-                    texts[i].append(t)
-                elif i < n_real:
-                    finished[i] = True
-                    reasons[i] = "stop"
-            push_updates()
+                if slots[i] is None:
+                    continue
+                ttfts[i] = ttft_ms
+                queue_ms[i] = (t0 - slots[i].t_submit) * 1000
+                first_token(i, int(host_tok[i]))
 
             done = jnp.asarray(
-                [finished[i] or caps[i] <= 1 for i in range(b)])
-            chunk_idx = 0
-            while not all(finished) and max(
-                    emitted[i] for i in range(n_real) if not finished[i]) < max_new:
-                k = min(engine.chunk, max_new)
+                [finished[i] or slots[i] is None for i in range(b)])
+            k = min(engine.chunk, max_new)
+            while n_active() > 0 or (tables is not None and not self._stop
+                                     and not self.queue.empty()):
                 if tables is not None:
+                    cache, tok, done, key = try_admit(cache, tok, done, key)
                     cache = self._grow_pages(cache, tables, row_pages,
-                                             lens_host, finished, n_real,
-                                             chunk_idx, k, reasons)
+                                             cur_len, finished, slots, k,
+                                             reasons, force=tables_dirty)
+                    tables_dirty = False
+                    # pool exhaustion may have truncated rows: close them now
+                    for i in range(b):
+                        if slots[i] is not None and finished[i]:
+                            emit(i)
+                if n_active() == 0:
+                    break
                 if tables is not None and self.chunk_view:
-                    # bucket the chunk's dense view to the longest active
-                    # row + k (device lengths advance k per chunk per row)
-                    active = [lens_host[i] + chunk_idx * k
-                              for i in range(n_real) if not finished[i]]
+                    # bucket the chunk's dense view to the longest active row
+                    # + k (device lengths advance k per chunk per row)
+                    active = [cur_len[i] for i in range(b)
+                              if slots[i] is not None]
                     cap = tables.shape[1] * self.page_size
                     s_bucket = min(cap, _round_bucket(
-                        (max(active) if active else 1) + k, self.page_size))
+                        max(active) + k, self.page_size))
                     toks, done, tok, cache, key = vlm.decode_chunk_paged(
                         engine.params, cfg, tok, done, cache, key, k=k,
                         s_bucket=s_bucket, eos_ids=engine.eos_ids,
@@ -409,10 +566,10 @@ class BatchScheduler:
                     toks, done, tok, cache, key = vlm.decode_chunk(
                         engine.params, cfg, tok, done, cache, key, k=k,
                         eos_ids=engine.eos_ids, sampling=sampling)
-                chunk_idx += 1
                 host = np.asarray(toks)
-                for i in range(n_real):
-                    if finished[i]:
+                host_done = np.asarray(done)
+                for i in range(b):
+                    if slots[i] is None:
                         continue
                     for t in host[i]:
                         t = int(t)
@@ -427,18 +584,11 @@ class BatchScheduler:
                             break
                         texts[i].append(t)
                         emitted[i] += 1
-                host_done = np.asarray(done)
-                for i in range(n_real):
                     if host_done[i] and not finished[i]:
                         finished[i] = True
                         reasons[i] = reasons[i] or "stop"
-                push_updates()
-            # final update carries the definitive finish_reason for rows that
-            # ran out the chunk loop at the cap
-            for i in range(n_real):
-                if reasons[i] is None:
-                    reasons[i] = "length" if emitted[i] >= caps[i] else "stop"
-            push_updates()
+                    cur_len[i] += k
+                    emit(i)
             batch_ok = True
         finally:
             if tables is not None:
@@ -453,5 +603,8 @@ class BatchScheduler:
                     # arrays — drop them so the next batch reallocates clean
                     self._pool_kv = None
 
+        # safety net: emit() closed every stream on finish; a second sentinel
+        # after a close is unread (the client stopped at the first), and the
+        # error path in _loop() covers rows a failure left open
         for r in batch:
             r.out.put(_SENTINEL)

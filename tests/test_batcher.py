@@ -174,6 +174,129 @@ def test_paged_pool_exhaustion_truncates_not_crashes(engine):
         sched.shutdown()
 
 
+@pytest.fixture(scope="module")
+def engine_noeos():
+    """Tiny engine whose EOS is unreachable: generation always runs to its
+    max_new_tokens cap, making batch lifetimes deterministic for the
+    continuous-batching timing tests."""
+    return build_engine(random_tiny=True, eos_ids=(-1,))
+
+
+def test_stream_closes_on_row_finish_not_batch_end(engine_noeos):
+    """A short request batched with a long one must complete its stream as
+    soon as ITS row finishes — not when the whole batch drains."""
+    eng = engine_noeos
+    sched = BatchScheduler(eng, window_ms=150, paged=True, page_size=16,
+                           pool_tokens=8192)
+    try:
+        t_done = {}
+
+        def run(name, prompt, cap):
+            for _ in sched.submit(eng.build_prompt(prompt),
+                                  max_new_tokens=cap):
+                pass
+            t_done[name] = time.perf_counter()
+
+        tl = threading.Thread(target=run, args=("long", "tell me all", 192))
+        ts = threading.Thread(target=run, args=("short", "hi", 4))
+        tl.start(); ts.start()
+        tl.join(timeout=180); ts.join(timeout=180)
+        assert set(t_done) == {"long", "short"}
+        assert t_done["short"] < t_done["long"], t_done
+    finally:
+        sched.shutdown()
+
+
+def test_continuous_admission_into_free_slot(engine_noeos):
+    """A request arriving after the batch started must join at a chunk
+    boundary (free pad slot) instead of waiting for the batch to drain:
+    greedy output identical to serial, and it finishes first."""
+    eng = engine_noeos
+    sched = BatchScheduler(eng, window_ms=100, paged=True, page_size=16,
+                           pool_tokens=16384)
+    try:
+        longs = ["alpha", "beta gamma", "delta"]  # b=4 bucket, 1 free slot
+        want_late = eng.chat("quick question", max_new_tokens=4)[0]
+        results = {}
+        t_done = {}
+        stats = {}
+
+        def run(name, prompt, cap):
+            last = None
+            for last in sched.submit(eng.build_prompt(prompt),
+                                     max_new_tokens=cap):
+                pass
+            assert "error" not in last, last
+            results[name] = last["text"]
+            stats[name] = last["stats"]
+            t_done[name] = time.perf_counter()
+
+        started = threading.Event()
+
+        def run_long(name, prompt, cap):
+            last = None
+            for last in sched.submit(eng.build_prompt(prompt),
+                                     max_new_tokens=cap):
+                started.set()  # batch is decoding
+            assert "error" not in last, last
+            results[name] = last["text"]
+            stats[name] = last["stats"]
+            t_done[name] = time.perf_counter()
+
+        threads = [threading.Thread(target=run_long, args=(f"L{i}", p, 256))
+                   for i, p in enumerate(longs)]
+        for t in threads:
+            t.start()
+            time.sleep(0.01)  # land inside the gather window
+        assert started.wait(timeout=120)  # first update -> decode underway
+        late = threading.Thread(target=run, args=("late", "quick question", 4))
+        late.start()
+        late.join(timeout=180)
+        for t in threads:
+            t.join(timeout=180)
+        assert results["late"] == want_late, (results["late"], want_late)
+        # joined mid-batch: shared the decode loop with the three long rows
+        assert stats["late"]["batch_size"] >= 2, stats["late"]
+        assert all(t_done["late"] < t_done[f"L{i}"] for i in range(3)), t_done
+    finally:
+        sched.shutdown()
+
+
+def test_admission_into_slot_freed_by_finished_row(engine_noeos):
+    """A row that finishes returns its slot; a queued request admits into it
+    mid-batch and its greedy output matches serial."""
+    eng = engine_noeos
+    sched = BatchScheduler(eng, window_ms=100, paged=True, page_size=16,
+                           pool_tokens=16384)
+    try:
+        want_s = eng.chat("short follow-up", max_new_tokens=5)[0]
+        results = {}
+        t_done = {}
+
+        def run(name, prompt, cap):
+            last = None
+            for last in sched.submit(eng.build_prompt(prompt),
+                                     max_new_tokens=cap):
+                pass
+            assert "error" not in last, last
+            results[name] = last["text"]
+            t_done[name] = time.perf_counter()
+
+        tl = threading.Thread(target=run, args=("long", "the long one", 384))
+        tm = threading.Thread(target=run, args=("mid", "m", 3))
+        tl.start(); tm.start()
+        tm.join(timeout=180)       # 'mid' stream closed -> slot free
+        ts = threading.Thread(target=run, args=("s", "short follow-up", 5))
+        ts.start()
+        ts.join(timeout=180)
+        tl.join(timeout=180)
+        assert results["s"] == want_s, (results["s"], want_s)
+        assert t_done["s"] < t_done["long"], t_done
+        assert sched.pool.free_pages == sched.pool.num_pages
+    finally:
+        sched.shutdown()
+
+
 def test_paged_pool_recovers_after_batch_failure(engine):
     """A failed batch must not poison the persistent page-pool arrays
     (decode_chunk donates them) — the next batch reallocates clean."""
