@@ -127,6 +127,10 @@ class BatchScheduler:
         self.page_size = page_size
         self.pool = PagePool(max(1, pool_tokens // page_size)) if paged else None
         self._pool_kv = None  # lazy (k_pages, v_pages) device arrays
+        # observability: continuous-batching events (admitted / grown /
+        # shrunk / truncated) — serving metrics and test hooks
+        import collections
+        self.counters = collections.Counter()
         self.thread = threading.Thread(target=self._loop, daemon=True)
         self.thread.start()
 
@@ -265,6 +269,7 @@ class BatchScheduler:
                 finished[i] = True
                 if reasons is not None:
                     reasons[i] = "truncated"
+                self.counters["truncated"] += 1
                 self.pool.release(row_pages[i])
                 row_pages[i] = []
                 tables[i, :] = -1
@@ -419,18 +424,65 @@ class BatchScheduler:
                     reasons[i] = "length"
             emit(i)
 
+        def resize(new_b, cache, ht, hd):
+            """Re-bucket the live batch to ``new_b`` rows (paged mode only).
+            The page pool is batch-size-independent; the only b-shaped state
+            is host-rebuildable (block tables, lengths, last tok, done, and
+            the per-row bookkeeping lists), so growing to admit one more
+            request — or shrinking when a long tail leaves most rows idle —
+            costs one small host->device upload plus an (amortized, cached)
+            decode recompile at the new bucket. Occupied rows compact to the
+            front; ht/hd are HOST copies of (tok, done)."""
+            nonlocal b, tables, tables_dirty, slots, texts, finished, \
+                reasons, caps, emitted, ttfts, queue_ms, cur_len, row_pages
+            mapping = [i for i in range(b) if slots[i] is not None]
+            lens_old = np.asarray(cache.lengths)
+            new_tables = np.full((new_b, tables.shape[1]), -1, np.int32)
+            new_lens = np.zeros((new_b,), lens_old.dtype)
+            nt = np.zeros((new_b,), ht.dtype)
+            nd = np.ones((new_b,), bool)
+
+            def moved(src, pad):
+                out = [pad() for _ in range(new_b)]
+                for j, i in enumerate(mapping):
+                    out[j] = src[i]
+                return out
+
+            for j, i in enumerate(mapping):
+                new_tables[j] = tables[i]
+                new_lens[j] = lens_old[i]
+                nt[j] = ht[i]
+                nd[j] = hd[i]
+            slots = moved(slots, lambda: None)
+            texts = moved(texts, list)
+            finished = moved(finished, lambda: True)
+            reasons = moved(reasons, lambda: None)
+            caps = moved(caps, lambda: 0)
+            emitted = moved(emitted, lambda: 0)
+            ttfts = moved(ttfts, lambda: 0.0)
+            queue_ms = moved(queue_ms, lambda: 0.0)
+            cur_len = moved(cur_len, lambda: 0)
+            row_pages = moved(row_pages, list)
+            b = new_b
+            tables = new_tables
+            tables_dirty = False  # _replace below pushes them
+            cache = cache._replace(block_tables=jnp.asarray(tables),
+                                   lengths=jnp.asarray(new_lens))
+            return cache, nt, nd
+
         def try_admit(cache, tok, done, key):
             """Continuous batching (the TPU answer to the reference's
             serialize-behind-a-semaphore worker, model_worker.py:231-244,
             scaled past window batching): fill freed rows with queued
-            compatible requests at a chunk boundary. The prompt prefills
-            through a 1-row PagedKVCache view over the SAME pool arrays, so
-            its KV lands directly in the pages just allocated for it; the
-            batch cache is then rebuilt around the returned pool arrays."""
+            compatible requests at a chunk boundary — growing the batch
+            bucket when every row is live. The prompt prefills through a
+            1-row PagedKVCache view over the SAME pool arrays, so its KV
+            lands directly in the pages just allocated for it; the batch
+            cache is then rebuilt around the returned pool arrays."""
             nonlocal tables_dirty
             from fastvlm_tpu.ops.kv_cache import PagedKVCache
             ht = hd = None  # lazy host copies of (tok, done)
-            while n_active() < b and not self._stop:
+            while not self._stop:
                 try:
                     r = self.queue.get_nowait()
                 except queue.Empty:
@@ -438,6 +490,16 @@ class BatchScheduler:
                 if self._group_key(r) != group_key or not self._batchable(r):
                     self.queue.put(r)  # next batch serves it (FIFO-ish)
                     break
+                if n_active() >= b:
+                    new_b = _round_batch(n_active() + 1)
+                    if b >= self.max_batch or new_b > self.max_batch:
+                        self.queue.put(r)
+                        break
+                    if ht is None:
+                        ht = np.asarray(tok).copy()
+                        hd = np.asarray(done).copy()
+                    self.counters["grown"] += 1
+                    cache, ht, hd = resize(new_b, cache, ht, hd)
                 try:
                     prep = engine.prepare(r.prompt, r.image)
                 except Exception as e:  # a bad request must not kill the batch
@@ -504,6 +566,7 @@ class BatchScheduler:
                 ttfts[i] = (time.perf_counter() - t0) * 1000
                 queue_ms[i] = wait_ms
                 first_token(i, t_new)
+                self.counters["admitted"] += 1
                 ht[i] = t_new
                 hd[i] = finished[i] or slots[i] is None
             if ht is not None:
@@ -589,6 +652,17 @@ class BatchScheduler:
                         reasons[i] = reasons[i] or "stop"
                     cur_len[i] += k
                     emit(i)
+                if tables is not None and n_active() > 0:
+                    nb = _round_batch(n_active())
+                    if nb < b:
+                        # long-tail shrink: stop paying full-bucket decode
+                        # for rows that already finished
+                        self.counters["shrunk"] += 1
+                        ht = np.asarray(tok).copy()
+                        hd = np.asarray(done).copy()
+                        cache, ht, hd = resize(nb, cache, ht, hd)
+                        tok = jnp.asarray(ht)
+                        done = jnp.asarray(hd)
             batch_ok = True
         finally:
             if tables is not None:

@@ -297,6 +297,77 @@ def test_admission_into_slot_freed_by_finished_row(engine_noeos):
         sched.shutdown()
 
 
+def test_batch_grows_for_late_request(engine_noeos):
+    """The critical low-concurrency case: one long request owns a b=1
+    bucket; a late arrival must GROW the batch (1 -> 2) and join, not wait
+    out the whole generation."""
+    eng = engine_noeos
+    sched = BatchScheduler(eng, window_ms=20, paged=True, page_size=16,
+                           pool_tokens=16384)
+    try:
+        want_late = eng.chat("but why", max_new_tokens=4)[0]
+        results = {}
+        t_done = {}
+        started = threading.Event()
+
+        def run(name, prompt, cap):
+            last = None
+            for last in sched.submit(eng.build_prompt(prompt),
+                                     max_new_tokens=cap):
+                started.set()
+            assert "error" not in last, last
+            results[name] = last["text"]
+            t_done[name] = time.perf_counter()
+
+        tl = threading.Thread(target=run, args=("long", "the epic", 256))
+        tl.start()
+        assert started.wait(timeout=120)
+        late = threading.Thread(target=run, args=("late", "but why", 4))
+        late.start()
+        late.join(timeout=180)
+        tl.join(timeout=180)
+        assert results["late"] == want_late, (results["late"], want_late)
+        assert t_done["late"] < t_done["long"], t_done
+        assert sched.counters["grown"] >= 1, dict(sched.counters)
+        assert sched.counters["admitted"] >= 1, dict(sched.counters)
+        assert sched.pool.free_pages == sched.pool.num_pages
+    finally:
+        sched.shutdown()
+
+
+def test_batch_shrinks_after_rows_finish(engine_noeos):
+    """When most rows finish, the batch re-buckets down so the tail stops
+    paying full-width decode; outputs stay correct."""
+    eng = engine_noeos
+    sched = BatchScheduler(eng, window_ms=150, paged=True, page_size=16,
+                           pool_tokens=16384)
+    try:
+        want_long = eng.chat("endless story", max_new_tokens=96)[0]
+        results = {}
+
+        def run(name, prompt, cap):
+            last = None
+            for last in sched.submit(eng.build_prompt(prompt),
+                                     max_new_tokens=cap):
+                pass
+            assert "error" not in last, last
+            results[name] = last["text"]
+
+        specs = [("long", "endless story", 96), ("a", "a", 3),
+                 ("b", "bb", 3), ("c", "ccc", 3)]
+        threads = [threading.Thread(target=run, args=s) for s in specs]
+        for t in threads:
+            t.start()
+            time.sleep(0.01)
+        for t in threads:
+            t.join(timeout=180)
+        assert results["long"] == want_long, (results["long"], want_long)
+        assert sched.counters["shrunk"] >= 1, dict(sched.counters)
+        assert sched.pool.free_pages == sched.pool.num_pages
+    finally:
+        sched.shutdown()
+
+
 def test_paged_pool_recovers_after_batch_failure(engine):
     """A failed batch must not poison the persistent page-pool arrays
     (decode_chunk donates them) — the next batch reallocates clean."""
