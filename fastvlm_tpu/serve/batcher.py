@@ -102,10 +102,14 @@ class BatchScheduler:
 
     def __init__(self, engine, *, max_batch: int = 8, window_ms: float = 15.0,
                  paged: bool = True, page_size: int = 64,
-                 pool_tokens: int = 16384, chunk_view: bool = True):
+                 pool_tokens: int = 16384, chunk_view: bool = True,
+                 continuous: bool = True):
         self.engine = engine
         self.max_batch = max_batch
         self.window_s = window_ms / 1000.0
+        # continuous=False restores pure window batching (gathered batches
+        # run to completion; no mid-flight admission) — the A/B baseline
+        self.continuous = continuous
         # chunk-view decode (vlm.decode_chunk_paged): gather the pool into a
         # bucketed dense view once per chunk instead of per token — the
         # gather-free serving decode. False = legacy per-token gather path.
@@ -598,11 +602,13 @@ class BatchScheduler:
 
             done = jnp.asarray(
                 [finished[i] or slots[i] is None for i in range(b)])
+            admitting = tables is not None and self.continuous
             k = min(engine.chunk, max_new)
-            while n_active() > 0 or (tables is not None and not self._stop
+            while n_active() > 0 or (admitting and not self._stop
                                      and not self.queue.empty()):
-                if tables is not None:
+                if admitting:
                     cache, tok, done, key = try_admit(cache, tok, done, key)
+                if tables is not None:
                     cache = self._grow_pages(cache, tables, row_pages,
                                              cur_len, finished, slots, k,
                                              reasons, force=tables_dirty)
@@ -652,7 +658,7 @@ class BatchScheduler:
                         reasons[i] = reasons[i] or "stop"
                     cur_len[i] += k
                     emit(i)
-                if tables is not None and n_active() > 0:
+                if admitting and n_active() > 0:
                     nb = _round_batch(n_active())
                     if nb < b:
                         # long-tail shrink: stop paying full-bucket decode

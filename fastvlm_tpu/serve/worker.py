@@ -88,11 +88,22 @@ class ModelWorker:
     # ---------------- status / heartbeat ----------------
 
     def status(self) -> dict:
-        return {
+        out = {
             "model_names": [self.model_name],
             "speed": 1.0,
             "queue_length": self.queue_length,
         }
+        if self.scheduler is not None:
+            # continuous-batching observability: admissions, batch re-buckets,
+            # pool-exhaustion truncations, page-pool low-water mark
+            out["batching"] = dict(self.scheduler.counters)
+            if self.scheduler.pool is not None:
+                out["kv_pool"] = {
+                    "free_pages": self.scheduler.pool.free_pages,
+                    "num_pages": self.scheduler.pool.num_pages,
+                    "min_free": self.scheduler.pool.min_free,
+                }
+        return out
 
     async def register(self, session: aiohttp.ClientSession) -> None:
         await session.post(self.controller_addr + "/register_worker", json={
