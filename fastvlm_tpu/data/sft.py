@@ -53,59 +53,115 @@ def _tok_full(tokenizer, text: str) -> List[int]:
 
 
 class _SpanBuilder:
-    """Incremental span tokenization that is exact-by-construction.
+    """Span tokenization that is exact-by-construction.
 
-    Each ``add(text, is_target)`` re-tokenizes the WHOLE accumulated string
-    and labels the new suffix ids, so the final ids always equal the
-    reference's tokenize-once-over-the-rendered-conversation result — for
-    every tokenizer, including sentencepiece/Llama-style BPEs whose
+    The final ids always equal the reference's
+    tokenize-once-over-the-rendered-conversation result — for every
+    tokenizer, including sentencepiece/Llama-style BPEs whose
     ``add_dummy_prefix`` whitespace semantics make naive per-span
     tokenization drift (the class of bug the reference guards at
     train_qwen.py:624-630 by zeroing mismatched samples).
 
-    If a BPE merge crosses a span boundary (the new span's first characters
-    merge into the previous span's last token), the previously-emitted ids
-    are re-aligned to the new tokenization and the straddling token is
-    labeled IGNORE_INDEX — conservative: no training signal on a token that
-    mixes instruction and answer bytes (the reference instead zeroes the
-    whole sample and warns)."""
+    Fast path (one verification, O(total) tokenizer work): each span is
+    tokenized alone and the concatenation compared against the whole-string
+    tokenization; equality proves per-span labels are exact. Any mismatch
+    (a BPE merge across a span boundary, a tokenizer that inserts BOS per
+    call) falls back to the incremental path, which re-tokenizes the
+    accumulated string per span — O(spans x total), but rare.
+
+    If a merge crosses a span boundary, the re-tokenized head of the span is
+    labeled IGNORE_INDEX up to the longest token suffix that is byte-
+    identical to the span's standalone tokenization (matching suffix tokens
+    provably cover only this span's bytes, so everything kept as a target is
+    pure answer; everything ambiguous is masked). The reference instead
+    zeroes the whole sample and warns — this keeps the provably-clean
+    signal."""
 
     def __init__(self, tokenizer):
         self.tokenizer = tokenizer
-        self.text = ""
-        self.ids: List[int] = []
-        self.labels: List[int] = []
+        self.spans: List[Tuple[str, bool]] = []
+        self._ids: Optional[List[int]] = None
+        self._labels: Optional[List[int]] = None
         self.boundary_merges = 0
 
     def add(self, text: str, is_target: bool) -> None:
-        self.text += text
-        full = _tok_full(self.tokenizer, self.text)
-        n = len(self.ids)
-        mask_first = False
-        if full[:n] != self.ids:
-            # merge across the span boundary: keep the agreeing prefix,
-            # relabel the re-tokenized remainder as part of this span with
-            # its straddling first token masked
-            common = 0
-            limit = min(len(full), n)
-            while common < limit and full[common] == self.ids[common]:
-                common += 1
-            del self.labels[common:]
-            n = common
-            mask_first = True
-            self.boundary_merges += 1
-            logger.warning(
-                "tokenization merge across span boundary at token %d; "
-                "masking the straddling token", common)
-        span = full[n:]
-        self.ids = full
-        lab = list(span) if is_target else [IGNORE_INDEX] * len(span)
-        if mask_first and lab:
-            lab[0] = IGNORE_INDEX
-        self.labels.extend(lab)
+        self.spans.append((text, is_target))
+        self._ids = self._labels = None
+
+    @property
+    def ids(self) -> List[int]:
+        self._compute()
+        return self._ids
+
+    @property
+    def labels(self) -> List[int]:
+        self._compute()
+        return self._labels
+
+    def _compute(self) -> None:
+        if self._ids is not None:
+            return
+        texts = [t for t, _ in self.spans]
+        full = _tok_full(self.tokenizer, "".join(texts))
+        per = [_tok_full(self.tokenizer, t) if t else [] for t in texts]
+        if sum(per, []) == full:
+            ids: List[int] = []
+            labels: List[int] = []
+            for toks, (_, is_target) in zip(per, self.spans):
+                ids.extend(toks)
+                labels.extend(toks if is_target
+                              else [IGNORE_INDEX] * len(toks))
+            self._ids, self._labels = ids, labels
+            return
+        self._ids, self._labels = self._incremental(per)
+
+    def _incremental(self, per: List[List[int]]):
+        text = ""
+        ids: List[int] = []
+        labels: List[int] = []
+        for (span_text, is_target), alone in zip(self.spans, per):
+            text += span_text
+            full = _tok_full(self.tokenizer, text)
+            n = len(ids)
+            contaminated = False
+            if full[:n] != ids:
+                # merge across the span boundary: keep the agreeing prefix,
+                # relabel the re-tokenized remainder as part of this span
+                common = 0
+                limit = min(len(full), n)
+                while common < limit and full[common] == ids[common]:
+                    common += 1
+                del labels[common:]
+                n = common
+                contaminated = True
+                self.boundary_merges += 1
+            span = full[n:]
+            ids = full
+            if not is_target:
+                labels.extend([IGNORE_INDEX] * len(span))
+                continue
+            if contaminated:
+                # attribute conservatively: tokens in the longest common
+                # suffix of (span, standalone tokenization) are byte-
+                # identical to pure span text — safe targets; the ambiguous
+                # head (mixing previous-span bytes) is masked
+                s = 0
+                while (s < min(len(span), len(alone))
+                       and span[-1 - s] == alone[-1 - s]):
+                    s += 1
+                keep = len(span) - s
+                labels.extend([IGNORE_INDEX] * keep + span[keep:])
+                logger.warning(
+                    "tokenization merge across span boundary at token %d; "
+                    "masked %d ambiguous head token(s) of the target span",
+                    common, keep)
+            else:
+                labels.extend(span)
+        return ids, labels
 
     def result(self, max_len: Optional[int] = None):
-        ids, labels = self.ids, self.labels
+        self._compute()
+        ids, labels = self._ids, self._labels
         if max_len is not None:
             ids, labels = ids[:max_len], labels[:max_len]
         return ids, labels

@@ -481,6 +481,13 @@ class Engine:
                     break
                 emitted += n
                 stats.spec_steps += m  # passes dispatched (upper bound)
+                # each pass commits 1 bonus token regardless of drafts, so
+                # accepted drafts ≈ committed - passes (a lower bound: passes
+                # after the row finished commit nothing); generate_spec has
+                # the exact device counters, the stream keeps host accounting
+                stats.spec_accept_rate = (
+                    max(0, emitted - 1 - stats.spec_steps)
+                    / max(1, stats.spec_steps * draft_k))
                 done_host = consume(host_toks[0][:n])
                 done_host, chunk = emit(done_host)
                 yield chunk
@@ -538,7 +545,10 @@ class Engine:
             length_penalty=length_penalty)
         n = int(_sync(res.lengths)[0])
         toks = [int(x) for x in _sync(res.tokens)[0][:n]]
-        stats.ttft_ms = (time.perf_counter() - t0) * 1000  # full search here
+        # prefill + search run as one fused dispatch chain, so both timing
+        # fields cover the full search window (tok_per_s = end-to-end rate)
+        stats.ttft_ms = (time.perf_counter() - t0) * 1000
+        stats.decode_ms = stats.ttft_ms
         stats.decode_tokens = n
         if toks and toks[-1] in self.eos_ids:
             toks = toks[:-1]

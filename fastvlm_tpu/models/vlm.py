@@ -439,12 +439,10 @@ def _spec_verify_pass(params, cfg, last_tok, done, num, cache, hist, hist_len,
     count = jnp.where(active, count, 0)
     done = done | hit | (num + count >= max_new_tokens)
 
-    def masked_write(bufrow, vec, start, count):
-        old = lax.dynamic_slice(bufrow, (start,), (k + 1,))
-        vec = jnp.where(jnp.arange(k + 1) < count, vec, old)
-        return lax.dynamic_update_slice(bufrow, vec, (start,))
-
-    hist = jax.vmap(masked_write)(hist, g, hist_len, count)
+    from fastvlm_tpu.ops.speculative import masked_window_write
+    hist = jax.vmap(
+        lambda row, v, s, c: masked_window_write(row, v, s, c, k + 1))(
+            hist, g, hist_len, count)
     new_last = jnp.take_along_axis(
         g, jnp.clip(count - 1, 0, k)[:, None], axis=1)[:, 0]
     last_tok = jnp.where(count > 0, new_last, last_tok)
@@ -505,12 +503,10 @@ def _spec_loop(
         hist, tok0[:, None], corpus_lens)
     hist_len = corpus_lens + 1
 
+    from fastvlm_tpu.ops.speculative import masked_window_write
+
     def masked_write(bufrow, vec, start, count):
-        """Write vec[:count] into bufrow at start (static-width k+1 window;
-        positions >= count keep their old values)."""
-        old = lax.dynamic_slice(bufrow, (start,), (k + 1,))
-        vec = jnp.where(jnp.arange(k + 1) < count, vec, old)
-        return lax.dynamic_update_slice(bufrow, vec, (start,))
+        return masked_window_write(bufrow, vec, start, count, k + 1)
 
     def cond(state):
         return ~jnp.all(state[3])
@@ -658,12 +654,10 @@ def spec_stream_chunk(
             carry.hist, carry.hist_len, k=k, ngram_n=ngram_n, eos=eos,
             max_new_tokens=max_new_tokens, cd=cd)
 
-        def wr(row, vec, start, cnt):
-            old = lax.dynamic_slice(row, (start,), (k + 1,))
-            vec = jnp.where(jnp.arange(k + 1) < cnt, vec, old)
-            return lax.dynamic_update_slice(row, vec, (start,))
-
-        out = jax.vmap(wr)(out, g, off, count)
+        from fastvlm_tpu.ops.speculative import masked_window_write
+        out = jax.vmap(
+            lambda row, v, s, c: masked_window_write(row, v, s, c, k + 1))(
+                out, g, off, count)
         carry = SpecCarry(last_tok=last_tok, done=done,
                           num=carry.num + count, cache=cache,
                           hist=hist, hist_len=hist_len)

@@ -96,3 +96,18 @@ def accept_counts(draft: jnp.ndarray, verified: jnp.ndarray) -> jnp.ndarray:
     the longest accepted prefix (standard greedy speculative acceptance)."""
     match = (draft == verified).astype(jnp.int32)
     return jnp.sum(jnp.cumprod(match, axis=-1), axis=-1)
+
+
+def masked_window_write(row: jnp.ndarray, vec: jnp.ndarray,
+                        start: jnp.ndarray, count: jnp.ndarray,
+                        width: int) -> jnp.ndarray:
+    """Write ``vec[:count]`` into ``row`` at ``start`` through a static
+    ``width`` window (positions >= count keep their old values) — the
+    speculative commit primitive: every verify pass produces a static
+    k+1-token vector of which a dynamic 0..k+1 prefix is accepted. Shared
+    by the whole-generation loop, the verify pass's history update, and the
+    streaming chunk (models/vlm.py) so the clamp/mask semantics can't
+    drift between paths. vmap over rows."""
+    old = lax.dynamic_slice(row, (start,), (width,))
+    vec = jnp.where(jnp.arange(width) < count, vec, old)
+    return lax.dynamic_update_slice(row, vec, (start,))

@@ -103,13 +103,19 @@ class BatchScheduler:
     def __init__(self, engine, *, max_batch: int = 8, window_ms: float = 15.0,
                  paged: bool = True, page_size: int = 64,
                  pool_tokens: int = 16384, chunk_view: bool = True,
-                 continuous: bool = True):
+                 continuous: bool = True, fairness_s: float = 2.0):
         self.engine = engine
         self.max_batch = max_batch
         self.window_s = window_ms / 1000.0
         # continuous=False restores pure window batching (gathered batches
         # run to completion; no mid-flight admission) — the A/B baseline
         self.continuous = continuous
+        # anti-starvation bound: an incompatible request (different sampling
+        # group, anyres/multi-image) can't join the live batch; once one has
+        # waited this long, admission stops so the batch drains and the next
+        # _gather() serves it (otherwise a steady compatible stream could
+        # keep the batch alive forever while it starves)
+        self.fairness_s = fairness_s
         # chunk-view decode (vlm.decode_chunk_paged): gather the pool into a
         # bucketed dense view once per chunk instead of per token — the
         # gather-free serving decode. False = legacy per-token gather path.
@@ -135,6 +141,11 @@ class BatchScheduler:
         # shrunk / truncated) — serving metrics and test hooks
         import collections
         self.counters = collections.Counter()
+        # requests an admission scan popped but could not admit (different
+        # sampling group, anyres/multi-image, didn't fit) — served FIRST by
+        # the next _gather so they never fall behind fresh arrivals.
+        # Touched only by the scheduler thread.
+        self._deferred: List[_Request] = []
         self.thread = threading.Thread(target=self._loop, daemon=True)
         self.thread.start()
 
@@ -160,12 +171,22 @@ class BatchScheduler:
     # ------------- scheduler side -------------
 
     def _gather(self) -> List[_Request]:
-        try:
-            first = self.queue.get(timeout=0.1)
-        except queue.Empty:
-            return []
+        if self._deferred:
+            first = self._deferred.pop(0)
+        else:
+            try:
+                first = self.queue.get(timeout=0.1)
+            except queue.Empty:
+                return []
         batch = [first]
         key = self._group_key(first)
+        # drain compatible deferred requests before fresh arrivals
+        for r in list(self._deferred):
+            if len(batch) >= self.max_batch:
+                break
+            if self._group_key(r) == key:
+                batch.append(r)
+                self._deferred.remove(r)
         deadline = time.perf_counter() + self.window_s
         while len(batch) < self.max_batch:
             remaining = deadline - time.perf_counter()
@@ -178,8 +199,8 @@ class BatchScheduler:
             if self._group_key(nxt) == key:
                 batch.append(nxt)
             else:
-                # different sampling config: push back for the next group
-                self.queue.put(nxt)
+                # different sampling config: the next group serves it first
+                self._deferred.append(nxt)
                 break
         return batch
 
@@ -483,21 +504,40 @@ class BatchScheduler:
             1-row PagedKVCache view over the SAME pool arrays, so its KV
             lands directly in the pages just allocated for it; the batch
             cache is then rebuilt around the returned pool arrays."""
-            nonlocal tables_dirty
+            nonlocal tables_dirty, admitting
             from fastvlm_tpu.ops.kv_cache import PagedKVCache
             ht = hd = None  # lazy host copies of (tok, done)
+            if self._deferred and (time.perf_counter() -
+                                   min(d.t_submit for d in self._deferred)
+                                   > self.fairness_s):
+                # anti-starvation: a deferred request (incompatible with this
+                # batch, or one admission kept failing to place) has waited
+                # past the fairness bound — a steady compatible stream could
+                # otherwise keep the batch alive forever. Stop admitting so
+                # the batch drains; _gather() serves deferred requests first.
+                admitting = False
+                self.counters["drained_for_fairness"] += 1
+                return cache, tok, done, key
             while not self._stop:
-                try:
-                    r = self.queue.get_nowait()
-                except queue.Empty:
-                    break
+                # deferred compatible requests first (e.g. deferred at
+                # capacity: a freed slot must go to them, not fresh arrivals)
+                r = next((d for d in self._deferred
+                          if self._group_key(d) == group_key
+                          and self._batchable(d)), None)
+                if r is not None:
+                    self._deferred.remove(r)
+                else:
+                    try:
+                        r = self.queue.get_nowait()
+                    except queue.Empty:
+                        break
                 if self._group_key(r) != group_key or not self._batchable(r):
-                    self.queue.put(r)  # next batch serves it (FIFO-ish)
-                    break
+                    self._deferred.append(r)
+                    continue  # compatible requests behind it may still admit
                 if n_active() >= b:
                     new_b = _round_batch(n_active() + 1)
                     if b >= self.max_batch or new_b > self.max_batch:
-                        self.queue.put(r)
+                        self._deferred.append(r)  # batch at capacity
                         break
                     if ht is None:
                         ht = np.asarray(tok).copy()
@@ -514,12 +554,12 @@ class BatchScheduler:
                 plen = int(np.asarray(prep["lens"])[0])
                 pps = tables.shape[1]
                 if plen + r.max_new_tokens > pps * self.page_size:
-                    self.queue.put(r)  # doesn't fit this batch's table width
+                    self._deferred.append(r)  # needs a wider table: next batch
                     break
                 need = -(-plen // self.page_size)
                 got = self.pool.alloc(need)
                 if got is None:
-                    self.queue.put(r)  # pool full; retry next boundary
+                    self._deferred.append(r)  # pool full; retry next boundary
                     break
                 i = slots.index(None)
                 tables[i, :] = -1

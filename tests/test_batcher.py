@@ -368,6 +368,41 @@ def test_batch_shrinks_after_rows_finish(engine_noeos):
         sched.shutdown()
 
 
+def test_incompatible_request_not_starved(engine_noeos):
+    """A steady stream of compatible (greedy) requests keeps the batch alive
+    via admission; a sampled request that can never join must still be
+    served within the fairness bound (admission stops, the batch drains,
+    deferred requests go first)."""
+    from fastvlm_tpu.ops.sampling import SamplingParams
+
+    eng = engine_noeos
+    sched = BatchScheduler(eng, window_ms=10, paged=True, page_size=16,
+                           pool_tokens=16384, fairness_s=0.3)
+    stop_feeding = threading.Event()
+
+    def one_filler():
+        for _ in sched.submit(eng.build_prompt("filler"), max_new_tokens=24):
+            pass
+
+    def feeder():
+        while not stop_feeding.is_set():
+            threading.Thread(target=one_filler, daemon=True).start()
+            time.sleep(0.05)
+
+    threading.Thread(target=feeder, daemon=True).start()
+    time.sleep(0.3)  # the greedy batch is running
+    try:
+        out = list(sched.submit(
+            eng.build_prompt("sampled"), max_new_tokens=4,
+            sampling=SamplingParams(temperature=1.0)))
+        assert out and "error" not in out[-1], out[-1] if out else out
+        assert sched.counters["drained_for_fairness"] >= 1, \
+            dict(sched.counters)
+    finally:
+        stop_feeding.set()
+        sched.shutdown()
+
+
 def test_paged_pool_recovers_after_batch_failure(engine):
     """A failed batch must not poison the persistent page-pool arrays
     (decode_chunk donates them) — the next batch reallocates clean."""
