@@ -367,6 +367,61 @@ def bench_video(cfg, params, frames: int = 8):
             spec_ms, accept)
 
 
+def bench_serving(cfg, params, n_req: int = 12, arrival_s: float = 0.25,
+                  max_new: int = 48):
+    """Staggered-arrival serving A/B: window batching vs continuous
+    admission (serve/batcher.py; docs/PERF.md continuous-batching section).
+    Requests arrive every ``arrival_s``; each decodes exactly ``max_new``
+    tokens (EOS disabled). Returns per-mode p50/p95 request wall time,
+    makespan, and aggregate throughput."""
+    import threading
+
+    from fastvlm_tpu.data.preprocessing import ByteTokenizer
+    from fastvlm_tpu.engine import Engine
+    from fastvlm_tpu.serve.batcher import BatchScheduler
+
+    eng = Engine(cfg, params, ByteTokenizer(), eos_ids=(-1,))
+    prompts = [f"question number {i} about topic {i * i}"
+               for i in range(n_req)]
+
+    def workload(sched):
+        walls = [None] * n_req
+
+        def run(i):
+            t0 = time.perf_counter()
+            for _ in sched.submit(eng.build_prompt(prompts[i]),
+                                  max_new_tokens=max_new):
+                pass
+            walls[i] = time.perf_counter() - t0
+
+        ths = [threading.Thread(target=run, args=(i,)) for i in range(n_req)]
+        t0 = time.perf_counter()
+        for t in ths:
+            t.start()
+            time.sleep(arrival_s)
+        for t in ths:
+            t.join(600)
+        assert all(w is not None for w in walls)
+        return sorted(walls), time.perf_counter() - t0
+
+    out = {}
+    for mode, cont in (("window", False), ("continuous", True)):
+        sched = BatchScheduler(eng, window_ms=30, paged=True, page_size=64,
+                               pool_tokens=32768, continuous=cont)
+        workload(sched)  # warm every prefill/chunk specialization
+        walls, makespan = workload(sched)
+        out[mode] = {
+            "p50_wall_s": round(walls[len(walls) // 2], 2),
+            "p95_wall_s": round(walls[min(len(walls) - 1,
+                                          int(0.95 * len(walls)))], 2),
+            "makespan_s": round(makespan, 2),
+            "agg_tok_s": round(n_req * max_new / makespan, 1),
+        }
+        sched.shutdown()
+        time.sleep(0.5)
+    return out
+
+
 # The five BASELINE.json configs (SURVEY.md §6 north-star)
 CONFIGS = {
     "0.5b-caption": dict(size="0.5b", image_size=1024, batch=1, mode="ttft"),
@@ -396,6 +451,9 @@ CONFIGS = {
                     quantize_bits=4),
     # prompt-lookup speculative decoding (exact greedy, vlm.generate_spec)
     "decode-spec": dict(size="0.5b", image_size=1024, batch=1, mode="spec"),
+    # serving under staggered load: continuous batching vs window batching
+    "serving-load": dict(size="0.5b", image_size=1024, batch=1,
+                         mode="serving"),
 }
 
 
@@ -443,6 +501,18 @@ def run_config(name: str, *, iters: int = 40, dtype: str = "bfloat16",
             "vs_baseline": round(best / results["dense-xla@4096"], 3),
             "variants": results,
         }
+    if mode == "serving":
+        r = bench_serving(cfg, params)
+        print(json.dumps({"config": name, **r}), file=sys.stderr)
+        return {
+            "metric": (f"serving p50 request wall {size} (12 reqs @ 4/s, "
+                       "48 tok) continuous batching"),
+            "value": r["continuous"]["p50_wall_s"], "unit": "s",
+            "vs_baseline": round(r["window"]["p50_wall_s"]
+                                 / max(1e-9, r["continuous"]["p50_wall_s"]),
+                                 2),
+            **r,
+        }
     if mode == "spec":
         r = bench_spec(cfg, params)
         print(json.dumps({"config": name, **r}), file=sys.stderr)
@@ -482,7 +552,8 @@ def run_config(name: str, *, iters: int = 40, dtype: str = "bfloat16",
 # so BENCH_r{N}.json captures the whole north star — especially the 7B
 # number — in a single self-contained line.
 MATRIX = ("0.5b-caption", "1.5b-vqa", "7b-caption", "7b-batch8-w8a8",
-          "ocr-1536", "video-qa", "decode-paged", "decode-spec")
+          "ocr-1536", "video-qa", "decode-paged", "decode-spec",
+          "serving-load")
 
 
 def main(argv=None) -> int:
