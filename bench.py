@@ -405,9 +405,11 @@ def bench_serving(cfg, params, n_req: int = 12, arrival_s: float = 0.25,
         return sorted(walls), time.perf_counter() - t0
 
     out = {}
-    for mode, cont in (("window", False), ("continuous", True)):
+    for mode, cont, spec in (("window", False, False),
+                             ("continuous", True, False),
+                             ("continuous-spec", True, True)):
         sched = BatchScheduler(eng, window_ms=30, paged=True, page_size=64,
-                               pool_tokens=32768, continuous=cont)
+                               pool_tokens=32768, continuous=cont, spec=spec)
         workload(sched)  # warm every prefill/chunk specialization
         walls, makespan = workload(sched)
         out[mode] = {

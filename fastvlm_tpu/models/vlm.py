@@ -669,6 +669,102 @@ def spec_stream_chunk(
     return out[:, :width], counts, carry
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "m", "max_new_tokens", "eos_ids", "draft_k",
+                     "ngram_n", "s_bucket"),
+    donate_argnums=(2,))  # donate the carry: pool + hist update in place
+def spec_chunk_paged(
+    params: Params,
+    cfg: FastVLMConfig,
+    carry: "SpecCarry",      # carry.cache is a PagedKVCache here
+    *,
+    m: int = 2,              # verify passes per dispatch
+    max_new_tokens: int = 4096,   # device budget (host caps govern per row)
+    eos_ids: Tuple[int, ...] = (151645,),
+    draft_k: int = 8,
+    ngram_n: int = 3,
+    s_bucket: int = 512,
+):
+    """Speculative verify passes over the paged pool via the chunk view —
+    the continuous batcher's greedy fast path (decode_chunk_paged x
+    spec_stream_chunk). The pool is gathered ONCE into a dense
+    (L, B, s_bucket, H, D) view, m verify passes run on the view (each
+    writes k+1 KV slots past the row's length; acceptance advances lengths
+    by 1..k+1), and each row's m*(k+1)-column window from its start length
+    scatters back to its mapped pages.
+
+    Correctness under rejection/capacity (why garbage can't leak):
+      * slots beyond a row's committed count hold rejected-draft KV — the
+        next chunk's passes overwrite the same virtual positions, and
+        attention masks key positions >= lengths, so they are never read;
+      * a key position can only influence committed token t if it is
+        strictly below t's position (causal mask), and all write-drop /
+        clamp effects live at positions >= the row's live region, so every
+        token the HOST keeps is exact-greedy (ops/speculative.py docstring).
+
+    Caller contract: ``s_bucket >= max(live lengths) + m*(k+1) + k + 1``
+    (the batcher buckets with that slack) so live rows' in-view writes never
+    clamp; rows whose pages were released (block table -1) may clamp/slice
+    garbage but scatter into the drop sink.
+
+    Returns (tokens (B, m*(k+1)) zero-padded, counts (B,), carry') with
+    carry'.cache the updated PagedKVCache.
+    """
+    from fastvlm_tpu.ops.kv_cache import (
+        gather_pool_view,
+        write_tokens_paged_rows,
+    )
+    from fastvlm_tpu.ops.speculative import masked_window_write
+
+    k = draft_k
+    eos = jnp.asarray(eos_ids, jnp.int32)
+    cd = resolve_dtype(cfg.decoder.compute_dtype)
+    b = carry.last_tok.shape[0]
+    width = m * (k + 1)
+    paged = carry.cache
+    start_lens = paged.lengths
+    view_k, view_v = gather_pool_view(paged, s_bucket)
+    carry = carry._replace(cache=KVCache(k=view_k, v=view_v,
+                                         lengths=start_lens))
+
+    def body(state, _):
+        carry, out, off = state
+        g, count, done, last_tok, cache, hist, hist_len = _spec_verify_pass(
+            params, cfg, carry.last_tok, carry.done, carry.num, carry.cache,
+            carry.hist, carry.hist_len, k=k, ngram_n=ngram_n, eos=eos,
+            max_new_tokens=max_new_tokens, cd=cd)
+        out = jax.vmap(
+            lambda row, v, s, c: masked_window_write(row, v, s, c, k + 1))(
+                out, g, off, count)
+        carry = SpecCarry(last_tok=last_tok, done=done,
+                          num=carry.num + count, cache=cache,
+                          hist=hist, hist_len=hist_len)
+        return (carry, out, off + count), None
+
+    out0 = jnp.zeros((b, width + k + 1), jnp.int32)  # +k+1 write slack
+    (carry, out, counts), _ = lax.scan(
+        body, (carry, out0, jnp.zeros((b,), jnp.int32)), None, length=m)
+
+    def writeback(_, layer_in):
+        kp, vp, vk, vv = layer_in
+        ext = jax.vmap(
+            lambda row_k, row_v, st: (
+                lax.dynamic_slice_in_dim(row_k, st, width, axis=0),
+                lax.dynamic_slice_in_dim(row_v, st, width, axis=0)))(
+                    vk, vv, jnp.clip(start_lens, 0, s_bucket - width))
+        kp, vp = write_tokens_paged_rows(kp, vp, ext[0], ext[1],
+                                         paged.block_tables, start_lens)
+        return _, (kp, vp)
+
+    dense = carry.cache
+    _, (new_kp, new_vp) = lax.scan(
+        writeback, None, (paged.k_pages, paged.v_pages, dense.k, dense.v))
+    new_paged = paged._replace(k_pages=new_kp, v_pages=new_vp,
+                               lengths=dense.lengths)
+    return out[:, :width], counts, carry._replace(cache=new_paged)
+
+
 def generate_spec(
     params: Params,
     cfg: FastVLMConfig,

@@ -103,9 +103,24 @@ class BatchScheduler:
     def __init__(self, engine, *, max_batch: int = 8, window_ms: float = 15.0,
                  paged: bool = True, page_size: int = 64,
                  pool_tokens: int = 16384, chunk_view: bool = True,
-                 continuous: bool = True, fairness_s: float = 2.0):
+                 continuous: bool = True, fairness_s: float = 2.0,
+                 spec: bool = False, spec_draft_k: int = 8,
+                 spec_ngram_n: int = 3, spec_max_rows: int = 2,
+                 spec_min_accept: float = 0.1):
         self.engine = engine
         self.max_batch = max_batch
+        # speculative greedy serving: prompt-lookup verify passes replace
+        # plain decode chunks for temperature-0 groups (vlm.spec_chunk_paged)
+        self.spec = spec
+        self.spec_draft_k = spec_draft_k
+        self.spec_ngram_n = spec_ngram_n
+        # adaptive speculation: verify passes amortize the weight stream,
+        # which only beats plain batched decode while few rows are live and
+        # drafts actually hit (docs/PERF.md serving-spec A/B) — spec runs
+        # only at <= spec_max_rows live rows, and a low acceptance EMA bans
+        # it for the rest of the batch
+        self.spec_max_rows = spec_max_rows
+        self.spec_min_accept = spec_min_accept
         self.window_s = window_ms / 1000.0
         # continuous=False restores pure window batching (gathered batches
         # run to completion; no mid-flight admission) — the A/B baseline
@@ -370,11 +385,25 @@ class BatchScheduler:
         ids, lens, starts = pad_batch(rows, starts_l, pad_to)
 
         max_new = max(r.max_new_tokens for r in batch)
-        # cur_len[i] = row i's current device length (prompt now; +k per chunk)
+        sampling = batch[0].sampling
+        group_key = self._group_key(batch[0])
+        # speculative greedy serving (vlm.spec_chunk_paged): verify passes
+        # write k+1 slots past each row's length and a chunk commits up to
+        # width = m*(k+1) tokens — size block tables and the admission guard
+        # with that slack so live rows' writes never leave the mapped /
+        # in-view region (the spec_chunk_paged caller contract)
+        spec_on = (self.spec and self.paged and self.chunk_view
+                   and getattr(sampling, "temperature", 1.0) == 0.0)
+        spec_k = self.spec_draft_k
+        spec_m = max(1, -(-self.engine.chunk // (spec_k + 1)))
+        spec_width = spec_m * (spec_k + 1)
+        spec_slack = (spec_width + spec_k + 1) if spec_on else 0
+        # cur_len[i] = row i's current device length (prompt + committed)
         cur_len = [len(r) for r in rows]
         cache = row_pages = tables = None
         if self.paged:
-            made = self._paged_cache(b, pad_to, max_new, cur_len, n_real)
+            made = self._paged_cache(b, pad_to, max_new + spec_slack,
+                                     cur_len, n_real)
             if made is None:
                 logger.warning("page pool (%d pages) can't hold batch prompts;"
                                " dense fallback", self.pool.num_pages)
@@ -385,8 +414,10 @@ class BatchScheduler:
                                cfg.decoder.num_kv_heads, cfg.decoder.head_dim,
                                engine._kv_dtype)
 
-        sampling = batch[0].sampling
-        group_key = self._group_key(batch[0])
+        spec_on = spec_on and tables is not None
+        # per-row prompt ids (draft corpus seed); admitted rows append theirs
+        prompt_ids: List[np.ndarray] = [np.asarray(r, np.int32)
+                                        for r in rows]
         # slot state: slots[i] = the request occupying row i (None = free).
         # Freed rows are re-filled by continuous admission (paged mode).
         slots: List[Optional[_Request]] = [
@@ -459,8 +490,19 @@ class BatchScheduler:
             decode recompile at the new bucket. Occupied rows compact to the
             front; ht/hd are HOST copies of (tok, done)."""
             nonlocal b, tables, tables_dirty, slots, texts, finished, \
-                reasons, caps, emitted, ttfts, queue_ms, cur_len, row_pages
+                reasons, caps, emitted, ttfts, queue_ms, cur_len, row_pages, \
+                num, hist, hist_len, prompt_ids
             mapping = [i for i in range(b) if slots[i] is not None]
+            if spec_live:
+                nh, nhh, nhl = (np.asarray(num), np.asarray(hist),
+                                np.asarray(hist_len))
+                rnum = np.zeros((new_b,), nh.dtype)
+                rhh = np.zeros((new_b, nhh.shape[1]), nhh.dtype)
+                rhl = np.zeros((new_b,), nhl.dtype)
+                for j, i in enumerate(mapping):
+                    rnum[j], rhh[j], rhl[j] = nh[i], nhh[i], nhl[i]
+                num, hist, hist_len = (jnp.asarray(rnum), jnp.asarray(rhh),
+                                       jnp.asarray(rhl))
             lens_old = np.asarray(cache.lengths)
             new_tables = np.full((new_b, tables.shape[1]), -1, np.int32)
             new_lens = np.zeros((new_b,), lens_old.dtype)
@@ -488,6 +530,8 @@ class BatchScheduler:
             queue_ms = moved(queue_ms, lambda: 0.0)
             cur_len = moved(cur_len, lambda: 0)
             row_pages = moved(row_pages, list)
+            prompt_ids = moved(prompt_ids,
+                               lambda: np.zeros((0,), np.int32))
             b = new_b
             tables = new_tables
             tables_dirty = False  # _replace below pushes them
@@ -504,7 +548,7 @@ class BatchScheduler:
             1-row PagedKVCache view over the SAME pool arrays, so its KV
             lands directly in the pages just allocated for it; the batch
             cache is then rebuilt around the returned pool arrays."""
-            nonlocal tables_dirty, admitting
+            nonlocal tables_dirty, admitting, num, hist, hist_len
             from fastvlm_tpu.ops.kv_cache import PagedKVCache
             ht = hd = None  # lazy host copies of (tok, done)
             if self._deferred and (time.perf_counter() -
@@ -553,7 +597,7 @@ class BatchScheduler:
                     continue
                 plen = int(np.asarray(prep["lens"])[0])
                 pps = tables.shape[1]
-                if plen + r.max_new_tokens > pps * self.page_size:
+                if plen + r.max_new_tokens + spec_slack > pps * self.page_size:
                     self._deferred.append(r)  # needs a wider table: next batch
                     break
                 need = -(-plen // self.page_size)
@@ -607,12 +651,21 @@ class BatchScheduler:
                 caps[i] = r.max_new_tokens
                 emitted[i] = 0
                 cur_len[i] = plen
+                prompt_ids[i] = np.asarray(prep["ids"][0], np.int32)[:plen]
                 ttfts[i] = (time.perf_counter() - t0) * 1000
                 queue_ms[i] = wait_ms
                 first_token(i, t_new)
                 self.counters["admitted"] += 1
                 ht[i] = t_new
                 hd[i] = finished[i] or slots[i] is None
+                if spec_live:
+                    # seed the admitted row's draft corpus: prompt ids + tok0
+                    row_ids = np.zeros((int(hist.shape[1]),), np.int32)
+                    row_ids[:plen] = prompt_ids[i]
+                    row_ids[plen] = t_new
+                    hist = hist.at[i].set(jnp.asarray(row_ids))
+                    hist_len = hist_len.at[i].set(plen + 1)
+                    num = num.at[i].set(1)
             if ht is not None:
                 tok = jnp.asarray(ht)
                 done = jnp.asarray(hd)
@@ -642,15 +695,48 @@ class BatchScheduler:
 
             done = jnp.asarray(
                 [finished[i] or slots[i] is None for i in range(b)])
+            num = hist = hist_len = None
             admitting = tables is not None and self.continuous
             k = min(engine.chunk, max_new)
+            # adaptive speculation state: spec_live tracks whether the CURRENT
+            # chunk uses verify passes; histories are rebuilt from host state
+            # (prompt_ids + texts) on every entry, so spec can switch on/off
+            # as rows come and go
+            spec_live = False
+            spec_banned = False
+            spec_ema = None
+            spec_chunks = 0
+
+            def build_spec_state():
+                hist_w = tables.shape[1] * self.page_size + spec_k + 1
+                hh = np.zeros((b, hist_w), np.int32)
+                hl = np.zeros((b,), np.int32)
+                nm = np.ones((b,), np.int32)
+                for i in range(b):
+                    if slots[i] is None:
+                        continue
+                    p = prompt_ids[i]
+                    t = texts[i]
+                    hh[i, :len(p)] = p
+                    hh[i, len(p):len(p) + len(t)] = t
+                    hl[i] = len(p) + len(t)
+                    nm[i] = max(1, len(t))
+                return jnp.asarray(hh), jnp.asarray(hl), jnp.asarray(nm)
             while n_active() > 0 or (admitting and not self._stop
                                      and not self.queue.empty()):
+                want_spec = (spec_on and not spec_banned
+                             and 0 < n_active() <= self.spec_max_rows)
+                if want_spec and not spec_live:
+                    hist, hist_len, num = build_spec_state()
+                    spec_live = True
+                elif not want_spec:
+                    spec_live = False
                 if admitting:
                     cache, tok, done, key = try_admit(cache, tok, done, key)
                 if tables is not None:
                     cache = self._grow_pages(cache, tables, row_pages,
-                                             cur_len, finished, slots, k,
+                                             cur_len, finished, slots,
+                                             spec_width if spec_live else k,
                                              reasons, force=tables_dirty)
                     tables_dirty = False
                     # pool exhaustion may have truncated rows: close them now
@@ -659,7 +745,29 @@ class BatchScheduler:
                             emit(i)
                 if n_active() == 0:
                     break
-                if tables is not None and self.chunk_view:
+                counts_host = None
+                act_n = n_active()
+                if spec_live:
+                    # bucket the view with the spec slack: live rows' verify
+                    # writes must stay inside [0, s_bucket)
+                    active = [cur_len[i] for i in range(b)
+                              if slots[i] is not None]
+                    cap = tables.shape[1] * self.page_size
+                    s_bucket = min(cap, _round_bucket(
+                        max(active) + spec_slack, self.page_size))
+                    carry = vlm.SpecCarry(last_tok=tok, done=done, num=num,
+                                          cache=cache, hist=hist,
+                                          hist_len=hist_len)
+                    toks, counts, carry = vlm.spec_chunk_paged(
+                        engine.params, cfg, carry, m=spec_m,
+                        max_new_tokens=cap, eos_ids=engine.eos_ids,
+                        draft_k=spec_k, ngram_n=self.spec_ngram_n,
+                        s_bucket=s_bucket)
+                    tok, done, num, cache, hist, hist_len = (
+                        carry.last_tok, carry.done, carry.num, carry.cache,
+                        carry.hist, carry.hist_len)
+                    counts_host = np.asarray(counts)
+                elif tables is not None and self.chunk_view:
                     # bucket the chunk's dense view to the longest active row
                     # + k (device lengths advance k per chunk per row)
                     active = [cur_len[i] for i in range(b)
@@ -680,7 +788,9 @@ class BatchScheduler:
                 for i in range(b):
                     if slots[i] is None:
                         continue
-                    for t in host[i]:
+                    row_toks = (host[i] if counts_host is None
+                                else host[i][:int(counts_host[i])])
+                    for t in row_toks:
                         t = int(t)
                         # post-EOS pad slots are always preceded by the EOS
                         # token in the same chunk, so breaking on EOS is
@@ -696,8 +806,23 @@ class BatchScheduler:
                     if host_done[i] and not finished[i]:
                         finished[i] = True
                         reasons[i] = reasons[i] or "stop"
-                    cur_len[i] += k
+                    cur_len[i] += (k if counts_host is None
+                                   else int(counts_host[i]))
                     emit(i)
+                if counts_host is not None:
+                    # acceptance EMA: ban speculation for this batch when
+                    # drafts keep missing (verify passes then cost more than
+                    # the plain decode chunks they replace)
+                    total = int(counts_host.sum())
+                    accept = (max(0, total - spec_m * act_n)
+                              / max(1, spec_m * spec_k * act_n))
+                    spec_ema = (accept if spec_ema is None
+                                else 0.5 * spec_ema + 0.5 * accept)
+                    spec_chunks += 1
+                    if spec_chunks >= 3 and spec_ema < self.spec_min_accept:
+                        spec_banned = True
+                        spec_live = False
+                        self.counters["spec_banned_low_accept"] += 1
                 if admitting and n_active() > 0:
                     nb = _round_batch(n_active())
                     if nb < b:

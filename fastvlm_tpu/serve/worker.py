@@ -57,8 +57,8 @@ class ModelWorker:
         # composed with the continuous-batching scheduler, which runs its
         # own shared decode loop.
         self.spec_decode = spec_decode and not continuous_batching
-        if spec_decode and continuous_batching:
-            logger.warning("--spec-decode ignored with --continuous-batching")
+        # spec + continuous batching compose: greedy groups decode through
+        # vlm.spec_chunk_paged (the batcher's speculative fast path)
         self.spec_draft_k = spec_draft_k
         self.worker_id = uuid.uuid4().hex[:8]
         self.worker_addr = worker_addr
@@ -83,7 +83,9 @@ class ModelWorker:
             from fastvlm_tpu.serve.batcher import BatchScheduler
 
             self.scheduler = BatchScheduler(engine, page_size=page_size,
-                                            pool_tokens=pool_tokens)
+                                            pool_tokens=pool_tokens,
+                                            spec=spec_decode,
+                                            spec_draft_k=spec_draft_k)
 
     # ---------------- status / heartbeat ----------------
 

@@ -403,6 +403,107 @@ def test_incompatible_request_not_starved(engine_noeos):
         sched.shutdown()
 
 
+def test_spec_batched_greedy_matches_serial(engine):
+    """Speculative continuous batching (vlm.spec_chunk_paged): batched
+    greedy output must be byte-identical to serial engine output — exact
+    greedy is the spec contract. Loopy prompts give the n-gram draft
+    something to accept."""
+    sched = BatchScheduler(engine, window_ms=120, paged=True, page_size=16,
+                           pool_tokens=16384, spec=True, spec_max_rows=8,
+                           spec_min_accept=0.0)
+    try:
+        prompts = ["ab ab ab ab ab", "the cat the cat the", "zzz"]
+        want = [engine.chat(p, max_new_tokens=24)[0] for p in prompts]
+        results = [None] * len(prompts)
+
+        def run(i):
+            last = None
+            for last in sched.submit(engine.build_prompt(prompts[i]),
+                                     max_new_tokens=24):
+                pass
+            assert "error" not in last, last
+            results[i] = last["text"]
+
+        threads = [threading.Thread(target=run, args=(i,))
+                   for i in range(len(prompts))]
+        for t in threads:
+            t.start()
+            time.sleep(0.01)
+        for t in threads:
+            t.join(timeout=180)
+        assert results == want, (results, want)
+        assert sched.pool.free_pages == sched.pool.num_pages
+    finally:
+        sched.shutdown()
+
+
+def test_spec_batched_admission_matches_serial(engine_noeos):
+    """A request admitted mid-flight into a SPECULATIVE batch (grow + 1-row
+    prefill + hist seeding) must still produce exact-greedy output."""
+    eng = engine_noeos
+    sched = BatchScheduler(eng, window_ms=20, paged=True, page_size=16,
+                           pool_tokens=16384, spec=True, spec_max_rows=8,
+                           spec_min_accept=0.0)
+    try:
+        want_late = eng.chat("me too me too", max_new_tokens=6)[0]
+        results = {}
+        started = threading.Event()
+
+        def run(name, prompt, cap):
+            last = None
+            for last in sched.submit(eng.build_prompt(prompt),
+                                     max_new_tokens=cap):
+                started.set()
+            assert "error" not in last, last
+            results[name] = last["text"]
+
+        tl = threading.Thread(target=run, args=("long", "go go go go", 192))
+        tl.start()
+        assert started.wait(timeout=120)
+        late = threading.Thread(target=run, args=("late", "me too me too", 6))
+        late.start()
+        late.join(timeout=180)
+        tl.join(timeout=180)
+        assert results["late"] == want_late, (results["late"], want_late)
+        assert sched.counters["admitted"] >= 1, dict(sched.counters)
+        assert sched.pool.free_pages == sched.pool.num_pages
+    finally:
+        sched.shutdown()
+
+
+def test_spec_batched_respects_caps_and_stop_strings(engine_noeos):
+    """Per-row max_new_tokens caps bind exactly in spec mode (device commits
+    can overshoot the host cap within a chunk; the host must trim)."""
+    eng = engine_noeos
+    sched = BatchScheduler(eng, window_ms=120, paged=True, page_size=16,
+                           pool_tokens=16384, spec=True, spec_max_rows=8,
+                           spec_min_accept=0.0)
+    try:
+        want = {c: eng.chat("count up up up", max_new_tokens=c)[0]
+                for c in (3, 17)}
+        results = {}
+
+        def run(cap):
+            last = None
+            for last in sched.submit(eng.build_prompt("count up up up"),
+                                     max_new_tokens=cap):
+                pass
+            assert "error" not in last, last
+            results[cap] = last
+
+        threads = [threading.Thread(target=run, args=(c,)) for c in (3, 17)]
+        for t in threads:
+            t.start()
+            time.sleep(0.01)
+        for t in threads:
+            t.join(timeout=180)
+        for c in (3, 17):
+            assert results[c]["text"] == want[c], (c, results[c], want[c])
+            assert results[c]["stats"]["finish_reason"] == "length"
+    finally:
+        sched.shutdown()
+
+
 def test_paged_pool_recovers_after_batch_failure(engine):
     """A failed batch must not poison the persistent page-pool arrays
     (decode_chunk donates them) — the next batch reallocates clean."""
