@@ -410,6 +410,12 @@ def bench_serving(cfg, params, n_req: int = 12, arrival_s: float = 0.25,
                              ("continuous-spec", True, True)):
         sched = BatchScheduler(eng, window_ms=30, paged=True, page_size=64,
                                pool_tokens=32768, continuous=cont, spec=spec)
+        # precompile the decode-shape grid (a cold shape mid-flight stalls
+        # the shared loop 1.7-2.5 s), then one workload pass for the
+        # prefill/admission shapes
+        plen = max(int(np.asarray(eng.prepare(eng.build_prompt(p))["lens"])[0])
+                   for p in prompts)
+        sched.warmup(prompt_len=plen, max_new_tokens=max_new)
         workload(sched)  # warm every prefill/chunk specialization
         walls, makespan = workload(sched)
         out[mode] = {

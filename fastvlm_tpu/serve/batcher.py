@@ -105,7 +105,7 @@ class BatchScheduler:
                  pool_tokens: int = 16384, chunk_view: bool = True,
                  continuous: bool = True, fairness_s: float = 2.0,
                  spec: bool = False, spec_draft_k: int = 8,
-                 spec_ngram_n: int = 3, spec_max_rows: int = 2,
+                 spec_ngram_n: int = 3, spec_max_rows: int = 1,
                  spec_min_accept: float = 0.1):
         self.engine = engine
         self.max_batch = max_batch
@@ -115,12 +115,24 @@ class BatchScheduler:
         self.spec_draft_k = spec_draft_k
         self.spec_ngram_n = spec_ngram_n
         # adaptive speculation: verify passes amortize the weight stream,
-        # which only beats plain batched decode while few rows are live and
-        # drafts actually hit (docs/PERF.md serving-spec A/B) — spec runs
-        # only at <= spec_max_rows live rows, and a low acceptance EMA bans
-        # it for the rest of the batch
+        # which a batch already amortizes across rows — speculation is a
+        # LATENCY tool for near-empty batches (measured: spec@2 77 tok/s vs
+        # plain@2 ~300 on this chip), so it engages only at
+        # <= spec_max_rows live rows, and a low acceptance EMA bans it for
+        # the rest of the batch
         self.spec_max_rows = spec_max_rows
         self.spec_min_accept = spec_min_accept
+        # measured-rate auto-tuner (cross-batch): committed-tokens/sec EMA
+        # per (mode, live-row count). Raw acceptance is the wrong criterion
+        # — what matters is tokens delivered per wall second including
+        # dispatch RTT — so spec stays engaged only while its MEASURED rate
+        # at the current row count beats plain chunks', re-probing
+        # periodically in case the workload drifts. Dispatches at a
+        # not-yet-seen jit shape are excluded from timing (compile wall).
+        self.spec_reprobe_every = 64
+        self._mode_rate: dict = {}   # (mode, act_n) -> tok/s EMA
+        self._spec_skips = 0
+        self._warm_shapes: set = set()
         self.window_s = window_ms / 1000.0
         # continuous=False restores pure window batching (gathered batches
         # run to completion; no mid-flight admission) — the A/B baseline
@@ -156,6 +168,10 @@ class BatchScheduler:
         # shrunk / truncated) — serving metrics and test hooks
         import collections
         self.counters = collections.Counter()
+        # opt-in event timeline (set to a list): (t, event, *detail) tuples
+        # appended at gather/admit/defer/drain/dispatch — debugging and the
+        # serving-load diagnosis harness
+        self.trace: Optional[list] = None
         # requests an admission scan popped but could not admit (different
         # sampling group, anyres/multi-image, didn't fit) — served FIRST by
         # the next _gather so they never fall behind fresh arrivals.
@@ -163,6 +179,133 @@ class BatchScheduler:
         self._deferred: List[_Request] = []
         self.thread = threading.Thread(target=self._loop, daemon=True)
         self.thread.start()
+
+    # ------------- startup warmup -------------
+
+    def warmup(self, prompt_len: int = 64, max_new_tokens: int = 256,
+               sampling=None) -> int:
+        """Precompile every decode-dispatch shape a workload with prompts
+        up to ``prompt_len`` tokens and ``max_new_tokens`` generation can
+        touch: batch buckets {1,2,4,8} x 512-token view buckets x
+        plain/spec. A cold shape hit mid-flight stalls the SHARED decode
+        loop for the full XLA compile (measured 1.7-2.5 s per shape on the
+        tunnel — every in-flight request pays it), so a production server
+        calls this once at startup, like the reference worker's first
+        warmup generate. Dummy dispatches run with all-(-1) block tables
+        (KV writes drop to the sink; the page pool is never mapped) and the
+        donated pool arrays are stored back. Returns dispatch count."""
+        if not self.paged or self.pool is None or not self.chunk_view:
+            return 0
+        import jax
+        import jax.numpy as jnp
+
+        from fastvlm_tpu.models import vlm
+        from fastvlm_tpu.ops.kv_cache import PagedKVCache, init_paged_cache
+        from fastvlm_tpu.ops.sampling import SamplingParams
+
+        engine = self.engine
+        cfg = engine.cfg
+        page = self.page_size
+        sampling = sampling or SamplingParams()
+        pad_to = -(-max(prompt_len, 1) // 64) * 64  # prompt bucket
+        k = min(engine.chunk, max_new_tokens)
+        spec_on = (self.spec and getattr(sampling, "temperature", 1.0) == 0.0)
+        spec_k = self.spec_draft_k
+        spec_m = max(1, -(-engine.chunk // (spec_k + 1)))
+        spec_slack = (spec_m * (spec_k + 1) + spec_k + 1) if spec_on else 0
+        pps = -(-(pad_to + max_new_tokens + spec_slack) // page)
+        if self._pool_kv is None:
+            c0 = init_paged_cache(
+                cfg.decoder.num_layers, 1, self.pool.num_pages, page, pps,
+                cfg.decoder.num_kv_heads, cfg.decoder.head_dim,
+                engine._dtype)
+            self._pool_kv = (c0.k_pages, c0.v_pages)
+        cap = pps * page
+        lo = _round_bucket(pad_to + k, page)
+        hi = _round_bucket(pad_to + max_new_tokens + spec_slack, page)
+        buckets = sorted({min(cap, s) for s in range(lo, hi + 512, 512)})
+        key = jax.random.PRNGKey(0)
+        n = 0
+        for nb in (c for c in (1, 2, 4, 8) if c <= self.max_batch):
+            for s in buckets:
+                def blank_cache():
+                    return PagedKVCache(
+                        k_pages=self._pool_kv[0], v_pages=self._pool_kv[1],
+                        block_tables=jnp.full((nb, pps), -1, jnp.int32),
+                        lengths=jnp.zeros((nb,), jnp.int32))
+
+                tok = jnp.zeros((nb,), jnp.int32)
+                done = jnp.zeros((nb,), bool)
+                _, _, _, cache, key = vlm.decode_chunk_paged(
+                    engine.params, cfg, tok, done, blank_cache(), key, k=k,
+                    s_bucket=s, eos_ids=engine.eos_ids, sampling=sampling)
+                self._pool_kv = (cache.k_pages, cache.v_pages)
+                self._warm_shapes.add(("plain", nb, s, k))
+                n += 1
+                if spec_on and nb <= _round_batch(self.spec_max_rows):
+                    carry = vlm.SpecCarry(
+                        last_tok=jnp.zeros((nb,), jnp.int32),
+                        done=jnp.zeros((nb,), bool),
+                        num=jnp.ones((nb,), jnp.int32),
+                        cache=blank_cache(),
+                        hist=jnp.zeros((nb, cap + spec_k + 1), jnp.int32),
+                        hist_len=jnp.ones((nb,), jnp.int32))
+                    _, _, carry = vlm.spec_chunk_paged(
+                        engine.params, cfg, carry, m=spec_m,
+                        max_new_tokens=cap, eos_ids=engine.eos_ids,
+                        draft_k=spec_k, ngram_n=self.spec_ngram_n,
+                        s_bucket=s)
+                    self._pool_kv = (carry.cache.k_pages,
+                                     carry.cache.v_pages)
+                    self._warm_shapes.add(("spec", nb, s, spec_m))
+                    n += 1
+        np.asarray(self._pool_kv[0].ravel()[0])  # host fetch = real sync
+        return n
+
+    # ------------- speculative auto-tuner -------------
+
+    def _spec_preferred(self, n: int) -> bool:
+        """Cross-batch decision: run verify passes only while their measured
+        committed-tok/s at ``n`` live rows beats plain chunks' (both EMAs,
+        compile dispatches excluded). Unknown spec rate -> probe spec;
+        unknown plain rate -> run plain to learn it; losing spec re-probes
+        every ``spec_reprobe_every`` skipped chunks (workloads drift)."""
+        rs = self._mode_rate.get(("spec", n))
+        rp = self._mode_rate.get(("plain", n))
+        if rs is None:
+            return True
+        if rp is None:
+            return False
+        if rs >= rp:
+            return True
+        self._spec_skips += 1
+        if self._spec_skips >= self.spec_reprobe_every:
+            self._spec_skips = 0
+            self.counters["spec_reprobe"] += 1
+            return True
+        self.counters["spec_rate_skips"] += 1
+        return False
+
+    def _note_rate(self, shape_key, act_n: int, committed: int,
+                   dt: float) -> None:
+        """Update the (mode, live-rows) committed-tok/s EMA for a decode
+        dispatch. The first dispatch at a new jit shape is warmup (XLA
+        compile wall) and only marks the shape seen. ``committed`` for plain
+        chunks is the k*rows capacity — the safe bias: spec must beat what
+        plain could deliver, not what post-EOS rows happened to use."""
+        mode = "spec" if shape_key[0] == "spec" else "plain"
+        self.counters[f"disp_{mode}@{act_n}"] += 1
+        self.counters[f"ms_{mode}@{act_n}"] += int(dt * 1000)
+        if self.trace is not None:
+            self.trace.append((time.perf_counter(), "disp", shape_key,
+                               act_n, committed, round(dt * 1000, 1)))
+        if shape_key not in self._warm_shapes:
+            self._warm_shapes.add(shape_key)
+            return
+        rate = committed / max(dt, 1e-6)
+        prev = self._mode_rate.get((mode, act_n))
+        self._mode_rate[(mode, act_n)] = (
+            rate if prev is None else 0.5 * prev + 0.5 * rate)
 
     # ------------- client side -------------
 
@@ -182,6 +325,10 @@ class BatchScheduler:
 
     def shutdown(self):
         self._stop = True
+        # join the loop thread so a successor scheduler (tests, bench A/Bs)
+        # never overlaps TPU dispatches with this one
+        if self.thread is not threading.current_thread():
+            self.thread.join(timeout=30)
 
     # ------------- scheduler side -------------
 
@@ -228,6 +375,9 @@ class BatchScheduler:
             batch = self._gather()
             if not batch:
                 continue
+            if self.trace is not None:
+                self.trace.append((time.perf_counter(), "batch_start",
+                                   len(batch)))
             try:
                 self._run_batch(batch)
             except Exception as e:  # surface errors to every waiter
@@ -491,18 +641,13 @@ class BatchScheduler:
             front; ht/hd are HOST copies of (tok, done)."""
             nonlocal b, tables, tables_dirty, slots, texts, finished, \
                 reasons, caps, emitted, ttfts, queue_ms, cur_len, row_pages, \
-                num, hist, hist_len, prompt_ids
+                spec_live, prompt_ids
             mapping = [i for i in range(b) if slots[i] is not None]
-            if spec_live:
-                nh, nhh, nhl = (np.asarray(num), np.asarray(hist),
-                                np.asarray(hist_len))
-                rnum = np.zeros((new_b,), nh.dtype)
-                rhh = np.zeros((new_b, nhh.shape[1]), nhh.dtype)
-                rhl = np.zeros((new_b,), nhl.dtype)
-                for j, i in enumerate(mapping):
-                    rnum[j], rhh[j], rhl[j] = nh[i], nhh[i], nhl[i]
-                num, hist, hist_len = (jnp.asarray(rnum), jnp.asarray(rhh),
-                                       jnp.asarray(rhl))
+            # spec state is row-indexed: invalidate it and let the next
+            # iteration's decision rebuild from host state (prompt_ids +
+            # texts) at the new b — device-side row surgery here compiled
+            # tiny scatter executables (~1.4 s each on the tunnel, measured)
+            spec_live = False
             lens_old = np.asarray(cache.lengths)
             new_tables = np.full((new_b, tables.shape[1]), -1, np.int32)
             new_lens = np.zeros((new_b,), lens_old.dtype)
@@ -548,7 +693,7 @@ class BatchScheduler:
             1-row PagedKVCache view over the SAME pool arrays, so its KV
             lands directly in the pages just allocated for it; the batch
             cache is then rebuilt around the returned pool arrays."""
-            nonlocal tables_dirty, admitting, num, hist, hist_len
+            nonlocal tables_dirty, admitting, spec_live
             from fastvlm_tpu.ops.kv_cache import PagedKVCache
             ht = hd = None  # lazy host copies of (tok, done)
             if self._deferred and (time.perf_counter() -
@@ -561,8 +706,20 @@ class BatchScheduler:
                 # the batch drains; _gather() serves deferred requests first.
                 admitting = False
                 self.counters["drained_for_fairness"] += 1
+                if self.trace is not None:
+                    self.trace.append((time.perf_counter(), "drain",
+                                       len(self._deferred)))
                 return cache, tok, done, key
-            while not self._stop:
+            # bound the admissions per chunk boundary to the requests already
+            # waiting when it started: on a loaded host an admission
+            # (prepare + 1-row prefill) can take longer than the arrival
+            # gap, and an unbounded loop then admits forever while in-flight
+            # rows get zero decode service (observed: 7 admissions, 4.4 s,
+            # no dispatches). Later arrivals wait one boundary — that's the
+            # continuous-batching contract anyway.
+            budget = len(self._deferred) + self.queue.qsize()
+            while not self._stop and budget > 0:
+                budget -= 1
                 # deferred compatible requests first (e.g. deferred at
                 # capacity: a freed slot must go to them, not fresh arrivals)
                 r = next((d for d in self._deferred
@@ -577,17 +734,28 @@ class BatchScheduler:
                         break
                 if self._group_key(r) != group_key or not self._batchable(r):
                     self._deferred.append(r)
+                    if self.trace is not None:
+                        self.trace.append((time.perf_counter(), "defer",
+                                           "group"))
                     continue  # compatible requests behind it may still admit
                 if n_active() >= b:
                     new_b = _round_batch(n_active() + 1)
                     if b >= self.max_batch or new_b > self.max_batch:
                         self._deferred.append(r)  # batch at capacity
+                        if self.trace is not None:
+                            self.trace.append((time.perf_counter(), "defer",
+                                               "capacity"))
                         break
                     if ht is None:
                         ht = np.asarray(tok).copy()
                         hd = np.asarray(done).copy()
                     self.counters["grown"] += 1
+                    t_rs = time.perf_counter()
                     cache, ht, hd = resize(new_b, cache, ht, hd)
+                    if self.trace is not None:
+                        self.trace.append((time.perf_counter(), "grow",
+                                           new_b, round((time.perf_counter()
+                                                         - t_rs) * 1000, 1)))
                 try:
                     prep = engine.prepare(r.prompt, r.image)
                 except Exception as e:  # a bad request must not kill the batch
@@ -656,16 +824,16 @@ class BatchScheduler:
                 queue_ms[i] = wait_ms
                 first_token(i, t_new)
                 self.counters["admitted"] += 1
+                if self.trace is not None:
+                    self.trace.append((
+                        time.perf_counter(), "admit", i, plen,
+                        round(ttfts[i], 1)))
                 ht[i] = t_new
                 hd[i] = finished[i] or slots[i] is None
-                if spec_live:
-                    # seed the admitted row's draft corpus: prompt ids + tok0
-                    row_ids = np.zeros((int(hist.shape[1]),), np.int32)
-                    row_ids[:plen] = prompt_ids[i]
-                    row_ids[plen] = t_new
-                    hist = hist.at[i].set(jnp.asarray(row_ids))
-                    hist_len = hist_len.at[i].set(plen + 1)
-                    num = num.at[i].set(1)
+                # an admission invalidates device spec state (new row's
+                # draft corpus isn't in hist): drop it; the next decision
+                # rebuilds from host state if speculation is still wanted
+                spec_live = False
             if ht is not None:
                 tok = jnp.asarray(ht)
                 done = jnp.asarray(hd)
@@ -724,15 +892,28 @@ class BatchScheduler:
                 return jnp.asarray(hh), jnp.asarray(hl), jnp.asarray(nm)
             while n_active() > 0 or (admitting and not self._stop
                                      and not self.queue.empty()):
+                if self.trace is not None:
+                    self.trace.append((time.perf_counter(), "iter",
+                                       n_active(), b, spec_live))
+                if admitting:
+                    cache, tok, done, key = try_admit(cache, tok, done, key)
+                if self.trace is not None:
+                    self.trace.append((time.perf_counter(), "post_admit"))
+                # decide speculation AFTER admission: the pre-admission row
+                # count lies — 1 live row can become a full batch in the same
+                # iteration, and a spec dispatch at b=8 loses ~2x to plain
+                # chunks (measured: spec@8 639 tok/s vs plain@8 1200)
                 want_spec = (spec_on and not spec_banned
-                             and 0 < n_active() <= self.spec_max_rows)
+                             and 0 < n_active() <= self.spec_max_rows
+                             and b <= _round_batch(self.spec_max_rows)
+                             and self._spec_preferred(n_active()))
                 if want_spec and not spec_live:
                     hist, hist_len, num = build_spec_state()
                     spec_live = True
                 elif not want_spec:
                     spec_live = False
-                if admitting:
-                    cache, tok, done, key = try_admit(cache, tok, done, key)
+                if self.trace is not None:
+                    self.trace.append((time.perf_counter(), "post_specdec"))
                 if tables is not None:
                     cache = self._grow_pages(cache, tables, row_pages,
                                              cur_len, finished, slots,
@@ -747,6 +928,9 @@ class BatchScheduler:
                     break
                 counts_host = None
                 act_n = n_active()
+                if self.trace is not None:
+                    self.trace.append((time.perf_counter(), "pre_disp"))
+                t_disp = time.perf_counter()
                 if spec_live:
                     # bucket the view with the spec slack: live rows' verify
                     # writes must stay inside [0, s_bucket)
@@ -755,6 +939,7 @@ class BatchScheduler:
                     cap = tables.shape[1] * self.page_size
                     s_bucket = min(cap, _round_bucket(
                         max(active) + spec_slack, self.page_size))
+                    shape_key = ("spec", b, s_bucket, spec_m)
                     carry = vlm.SpecCarry(last_tok=tok, done=done, num=num,
                                           cache=cache, hist=hist,
                                           hist_len=hist_len)
@@ -775,16 +960,22 @@ class BatchScheduler:
                     cap = tables.shape[1] * self.page_size
                     s_bucket = min(cap, _round_bucket(
                         max(active) + k, self.page_size))
+                    shape_key = ("plain", b, s_bucket, k)
                     toks, done, tok, cache, key = vlm.decode_chunk_paged(
                         engine.params, cfg, tok, done, cache, key, k=k,
                         s_bucket=s_bucket, eos_ids=engine.eos_ids,
                         sampling=sampling)
                 else:
+                    shape_key = ("dense", b, k)
                     toks, done, tok, cache, key = vlm.decode_chunk(
                         engine.params, cfg, tok, done, cache, key, k=k,
                         eos_ids=engine.eos_ids, sampling=sampling)
-                host = np.asarray(toks)
+                host = np.asarray(toks)  # host fetch = the real device sync
                 host_done = np.asarray(done)
+                self._note_rate(shape_key, act_n,
+                                int(counts_host.sum())
+                                if counts_host is not None else k * act_n,
+                                time.perf_counter() - t_disp)
                 for i in range(b):
                     if slots[i] is None:
                         continue

@@ -504,6 +504,32 @@ def test_spec_batched_respects_caps_and_stop_strings(engine_noeos):
         sched.shutdown()
 
 
+def test_warmup_precompiles_decode_shapes(engine):
+    """BatchScheduler.warmup must precompile the full decode-dispatch shape
+    grid: a request served afterwards (plain AND speculative dispatches)
+    hits only warmed shapes — no mid-flight XLA compile stall."""
+    sched = BatchScheduler(engine, window_ms=5, paged=True, page_size=16,
+                           pool_tokens=16384, spec=True, spec_max_rows=1,
+                           spec_min_accept=0.0)
+    try:
+        plen = int(np.asarray(
+            engine.prepare(engine.build_prompt("hello there"))["lens"])[0])
+        n = sched.warmup(prompt_len=plen, max_new_tokens=8)
+        assert n > 0
+        warm = set(sched._warm_shapes)
+        assert any(s[0] == "spec" for s in warm), warm
+        want, _ = engine.chat("hello there", max_new_tokens=8)
+        updates = list(sched.submit(engine.build_prompt("hello there"),
+                                    max_new_tokens=8))
+        assert "error" not in updates[-1], updates[-1]
+        assert updates[-1]["text"] == want
+        assert sched.pool.free_pages == sched.pool.num_pages
+        assert set(sched._warm_shapes) == warm, (
+            sched._warm_shapes - warm)
+    finally:
+        sched.shutdown()
+
+
 def test_paged_pool_recovers_after_batch_failure(engine):
     """A failed batch must not poison the persistent page-pool arrays
     (decode_chunk donates them) — the next batch reallocates clean."""
