@@ -674,6 +674,37 @@ class Engine:
 
         return dispatch
 
+    @property
+    def _prefill_suffix_jit(self):
+        """Suffix prefill after ``offset`` cached prefix tokens
+        (vlm.prefill_continue) — the serving prefix-cache admission path.
+        ``offset`` is a TRACED scalar so every cached length shares one
+        compiled specialization per (suffix bucket, table width)."""
+        if not hasattr(self, "_prefill_suffix_cached"):
+            cfg = self.cfg
+
+            @jax.jit
+            def f(params, images, ids, lens, starts, offset, cache):
+                return vlm.prefill_continue(params, cfg, images, ids, lens,
+                                            starts, offset, cache)
+
+            @jax.jit
+            def f_noimg(params, ids, lens, starts, offset, cache):
+                return vlm.prefill_continue(params, cfg, None, ids, lens,
+                                            starts, offset, cache)
+
+            self._prefill_suffix_cached = (f, f_noimg)
+
+        f, f_noimg = self._prefill_suffix_cached
+
+        def dispatch(params, images, ids, lens, starts, offset, cache):
+            offset = jnp.asarray(offset, jnp.int32)
+            if images is None:
+                return f_noimg(params, ids, lens, starts, offset, cache)
+            return f(params, images, ids, lens, starts, offset, cache)
+
+        return dispatch
+
 
 def build_engine(model_path: Optional[str] = None, *, random_tiny: bool = False,
                  dtype: str = "bfloat16", platform: Optional[str] = None,

@@ -79,6 +79,10 @@ class PagePool:
         self.num_pages = num_pages
         self._free = list(range(num_pages))
         self.min_free = num_pages  # low-water mark (observability/tests)
+        # refcounts for mapped pages: prefix caching maps one page into
+        # several rows' block tables (and the prefix registry itself);
+        # a page returns to the free list when its LAST reference releases
+        self._ref: Dict[int, int] = {}
 
     @property
     def free_pages(self) -> int:
@@ -89,11 +93,110 @@ class PagePool:
             return None
         out = self._free[-n:]
         del self._free[-n:]
+        for p in out:
+            self._ref[p] = 1
         self.min_free = min(self.min_free, len(self._free))
         return out
 
+    def share(self, pages: List[int]) -> None:
+        """Take an extra reference on already-mapped pages (read-only
+        sharing: a row mapping a cached prompt prefix, or the prefix
+        registry pinning an entry)."""
+        for p in pages:
+            self._ref[p] += 1
+
     def release(self, pages: List[int]) -> None:
-        self._free.extend(pages)
+        for p in pages:
+            r = self._ref[p] - 1
+            if r:
+                self._ref[p] = r
+            else:
+                del self._ref[p]
+                self._free.append(p)
+
+
+class PrefixCache:
+    """Block-aligned prompt-prefix reuse over the shared page pool
+    (automatic prefix caching; the serving analog of the video path's
+    KV-prefix reuse, vlm.prefill_continue).
+
+    Full pages of prompt KV are immutable once written (rows only ever
+    write at positions >= their own prompt length, suffix prefills start at
+    the cached boundary), so rows with an identical token prefix can map
+    the SAME pool pages read-only. Entries are keyed by the exact token ids
+    of each full-page prefix; a hit maps j shared pages into the new row's
+    block table and only the suffix is prefilled (prefill_continue with a
+    dynamic offset). Causality + identical absolute RoPE positions make the
+    reuse exact: prefix KV depends only on ids at positions < cached_len.
+
+    Image prompts participate up to the first image-slot position only
+    (image KV depends on pixel content, not ids); full-image reuse is the
+    video path's job.
+
+    The registry holds one pool reference per entry page; when the pool
+    can't satisfy an allocation, LRU entries are evicted until it can."""
+
+    def __init__(self, pool: PagePool, page_size: int,
+                 max_entries: int = 256):
+        import collections
+        self.pool = pool
+        self.page = page_size
+        self.max_entries = max_entries
+        self.entries: "collections.OrderedDict[bytes, List[int]]" = \
+            collections.OrderedDict()
+        self.hits = 0
+        self.misses = 0
+
+    @staticmethod
+    def _key(ids, n: int) -> bytes:
+        return np.asarray(ids[:n], np.int32).tobytes()
+
+    def lookup(self, ids) -> Tuple[int, List[int]]:
+        """Longest cached full-page prefix of ``ids`` -> (cached_len,
+        pages) with one pool reference taken per page FOR THE CALLER
+        (the row must release them like its own). (0, []) on miss."""
+        n_full = len(ids) // self.page
+        for j in range(n_full, 0, -1):
+            key = self._key(ids, j * self.page)
+            pages = self.entries.get(key)
+            if pages is not None:
+                self.entries.move_to_end(key)
+                self.pool.share(pages)
+                self.hits += 1
+                return j * self.page, list(pages)
+        self.misses += 1
+        return 0, []
+
+    def publish(self, ids, pages: List[int]) -> None:
+        """Register every full-page prefix of ``ids`` (whose KV lives in
+        ``pages``, one per page in order). Each new entry takes pool
+        references on its pages; existing entries are left alone (their
+        pages already hold identical KV)."""
+        n_full = min(len(ids) // self.page, len(pages))
+        for j in range(1, n_full + 1):
+            key = self._key(ids, j * self.page)
+            if key in self.entries:
+                self.entries.move_to_end(key)
+                continue
+            entry = list(pages[:j])
+            self.pool.share(entry)
+            self.entries[key] = entry
+        while len(self.entries) > self.max_entries:
+            _, old = self.entries.popitem(last=False)
+            self.pool.release(old)
+
+    def evict_for(self, n: int) -> bool:
+        """Drop LRU entries until the pool could satisfy an ``n``-page
+        allocation. Returns True if it can."""
+        while self.pool.free_pages < n and self.entries:
+            _, pages = self.entries.popitem(last=False)
+            self.pool.release(pages)
+        return self.pool.free_pages >= n
+
+    def clear(self) -> None:
+        for pages in self.entries.values():
+            self.pool.release(pages)
+        self.entries.clear()
 
 
 class BatchScheduler:
@@ -106,7 +209,7 @@ class BatchScheduler:
                  continuous: bool = True, fairness_s: float = 2.0,
                  spec: bool = False, spec_draft_k: int = 8,
                  spec_ngram_n: int = 3, spec_max_rows: int = 1,
-                 spec_min_accept: float = 0.1):
+                 spec_min_accept: float = 0.1, prefix_cache: bool = True):
         self.engine = engine
         self.max_batch = max_batch
         # speculative greedy serving: prompt-lookup verify passes replace
@@ -163,6 +266,11 @@ class BatchScheduler:
         self.paged = paged
         self.page_size = page_size
         self.pool = PagePool(max(1, pool_tokens // page_size)) if paged else None
+        # automatic prompt-prefix caching: rows with identical full-page
+        # token prefixes share pool pages read-only; admissions prefill
+        # only the suffix (docs/PERF.md prefix-caching section)
+        self.prefix = (PrefixCache(self.pool, page_size)
+                       if paged and prefix_cache else None)
         self._pool_kv = None  # lazy (k_pages, v_pages) device arrays
         # observability: continuous-batching events (admitted / grown /
         # shrunk / truncated) — serving metrics and test hooks
@@ -386,6 +494,16 @@ class BatchScheduler:
                     r.out.put({"error": str(e)})
                     r.out.put(_SENTINEL)
 
+    def _alloc_pages(self, n: int) -> Optional[List[int]]:
+        """pool.alloc with prefix-cache eviction: registry-pinned pages are
+        a cache, not a reservation — live rows always win."""
+        got = self.pool.alloc(n)
+        if got is None and self.prefix is not None \
+                and self.prefix.evict_for(n):
+            self.counters["prefix_evicted_for_rows"] += 1
+            got = self.pool.alloc(n)
+        return got
+
     def _paged_cache(self, b, pad_to, max_new, lens_host, n_real):
         """Map prompt pages for each real row; returns (cache, row_pages,
         tables) or None if the pool can't hold the prompts. Pad rows keep an
@@ -407,7 +525,7 @@ class BatchScheduler:
         row_pages: List[List[int]] = [[] for _ in range(b)]
         for i in range(n_real):
             n = -(-int(lens_host[i]) // page)
-            got = self.pool.alloc(n)
+            got = self._alloc_pages(n)
             if got is None:
                 for pgs in row_pages:
                     self.pool.release(pgs)
@@ -450,7 +568,7 @@ class BatchScheduler:
             delta = need - len(row_pages[i])
             if delta <= 0:
                 continue
-            got = self.pool.alloc(delta)
+            got = self._alloc_pages(delta)
             if got is None:
                 logger.warning(
                     "page pool exhausted (%d rows in flight); truncating row %d",
@@ -768,15 +886,28 @@ class BatchScheduler:
                 if plen + r.max_new_tokens + spec_slack > pps * self.page_size:
                     self._deferred.append(r)  # needs a wider table: next batch
                     break
+                ids_row = np.asarray(prep["ids"][0], np.int32)[:plen]
+                start0 = int(np.asarray(prep["starts"])[0])
+                cached_len, shared = 0, []
+                if self.prefix is not None and prep["vision_embeds"] is None:
+                    # prefix reuse bound: before the first image slot (image
+                    # KV depends on pixels, not ids) and strictly before the
+                    # last prompt token (its logits must be recomputed to
+                    # sample tok0)
+                    bound = min(start0 if start0 >= 0 else plen, plen - 1)
+                    cached_len, shared = self.prefix.lookup(
+                        ids_row[:max(bound, 0)])
                 need = -(-plen // self.page_size)
-                got = self.pool.alloc(need)
+                got = self._alloc_pages(need - len(shared))
                 if got is None:
+                    self.pool.release(shared)  # hand back the row's refs
                     self._deferred.append(r)  # pool full; retry next boundary
                     break
+                row_pgs = shared + got
                 i = slots.index(None)
                 tables[i, :] = -1
-                tables[i, :need] = got
-                row_pages[i] = got
+                tables[i, :need] = row_pgs
+                row_pages[i] = row_pgs
                 view = PagedKVCache(
                     k_pages=cache.k_pages, v_pages=cache.v_pages,
                     block_tables=jnp.asarray(tables[i:i + 1]),
@@ -784,10 +915,28 @@ class BatchScheduler:
                 wait_ms = (time.perf_counter() - r.t_submit) * 1000
                 t0 = time.perf_counter()
                 try:
-                    logits, view = engine._prefill_jit(
-                        engine.params, prep["images"], prep["ids"],
-                        prep["lens"], prep["starts"], view,
-                        vis=prep["vision_embeds"])
+                    if cached_len:
+                        # prefill only the un-cached suffix, attending the
+                        # shared prefix pages read-only
+                        sfx = ids_row[cached_len:]
+                        sb = -(-len(sfx) // engine.bucket) * engine.bucket
+                        sids = np.zeros((1, sb), np.int32)
+                        sids[0, :len(sfx)] = sfx
+                        sstarts = np.asarray(
+                            [start0 - cached_len if start0 >= 0 else -1],
+                            np.int32)
+                        logits, view = engine._prefill_suffix_jit(
+                            engine.params, prep["images"],
+                            jnp.asarray(sids),
+                            jnp.asarray([len(sfx)], np.int32),
+                            jnp.asarray(sstarts), cached_len, view)
+                        self.counters["prefix_hits"] += 1
+                        self.counters["prefix_hit_tokens"] += cached_len
+                    else:
+                        logits, view = engine._prefill_jit(
+                            engine.params, prep["images"], prep["ids"],
+                            prep["lens"], prep["starts"], view,
+                            vis=prep["vision_embeds"])
                 except Exception as e:
                     # prefill doesn't donate: the pool arrays are intact —
                     # fail this request alone and keep the batch alive
@@ -819,7 +968,11 @@ class BatchScheduler:
                 caps[i] = r.max_new_tokens
                 emitted[i] = 0
                 cur_len[i] = plen
-                prompt_ids[i] = np.asarray(prep["ids"][0], np.int32)[:plen]
+                prompt_ids[i] = ids_row
+                if self.prefix is not None and prep["vision_embeds"] is None:
+                    # the row's full prompt pages now hold reusable KV
+                    pub = start0 if start0 >= 0 else plen
+                    self.prefix.publish(ids_row[:pub], row_pgs)
                 ttfts[i] = (time.perf_counter() - t0) * 1000
                 queue_ms[i] = wait_ms
                 first_token(i, t_new)
@@ -854,6 +1007,13 @@ class BatchScheduler:
             ttft_ms = (time.perf_counter() - t0) * 1000
 
             host_tok = np.asarray(tok)
+            if self.prefix is not None and tables is not None:
+                # the gathered rows' prompt pages now hold reusable KV —
+                # publish so later admissions prefill only their suffix
+                for i in range(n_real):
+                    pub = (starts_l[i] if starts_l[i] >= 0
+                           else len(prompt_ids[i]))
+                    self.prefix.publish(prompt_ids[i][:pub], row_pages[i])
             for i in range(b):
                 if slots[i] is None:
                     continue
@@ -1036,8 +1196,12 @@ class BatchScheduler:
                     self._pool_kv = (cache.k_pages, cache.v_pages)
                 else:
                     # a failed dispatch may have donated/poisoned the pool
-                    # arrays — drop them so the next batch reallocates clean
+                    # arrays — drop them so the next batch reallocates clean;
+                    # cached prefix KV lived in those arrays, so the
+                    # registry must drop with them
                     self._pool_kv = None
+                    if self.prefix is not None:
+                        self.prefix.clear()
 
         # safety net: emit() closed every stream on finish; a second sentinel
         # after a close is unread (the client stopped at the first), and the

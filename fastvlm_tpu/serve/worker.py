@@ -49,6 +49,7 @@ class ModelWorker:
         pool_tokens: int = 16384,
         spec_decode: bool = False,
         spec_draft_k: int = 8,
+        warmup_tokens: int = 0,
     ):
         self.engine = engine
         self.model_name = model_name
@@ -86,6 +87,15 @@ class ModelWorker:
                                             pool_tokens=pool_tokens,
                                             spec=spec_decode,
                                             spec_draft_k=spec_draft_k)
+            if warmup_tokens > 0:
+                # startup warmup: precompile the decode-dispatch shape grid
+                # so no live request ever pays a mid-flight XLA compile
+                # (1.7-2.5 s/shape measured — docs/PERF.md serving section).
+                # warmup_tokens bounds the expected prompt length; image
+                # prompts should include num_image_tokens.
+                n = self.scheduler.warmup(prompt_len=warmup_tokens)
+                logger.info("scheduler warmup: %d dispatch shapes compiled",
+                            n)
 
     # ---------------- status / heartbeat ----------------
 
@@ -104,6 +114,12 @@ class ModelWorker:
                     "free_pages": self.scheduler.pool.free_pages,
                     "num_pages": self.scheduler.pool.num_pages,
                     "min_free": self.scheduler.pool.min_free,
+                }
+            if self.scheduler.prefix is not None:
+                out["prefix_cache"] = {
+                    "entries": len(self.scheduler.prefix.entries),
+                    "hits": self.scheduler.prefix.hits,
+                    "misses": self.scheduler.prefix.misses,
                 }
         return out
 
@@ -396,6 +412,10 @@ def main(argv=None):
                              "fewer device steps)")
     parser.add_argument("--spec-draft-k", type=int, default=8,
                         help="speculative draft length per verify pass")
+    parser.add_argument("--warmup-tokens", type=int, default=0,
+                        help="precompile decode-dispatch shapes at startup "
+                             "for prompts up to this many tokens (0 = off); "
+                             "continuous batching only")
     parser.add_argument("--dtype", default="bfloat16")
     parser.add_argument("--platform", default=None,
                         help="force jax backend (cpu/axon/tpu)")
@@ -414,7 +434,8 @@ def main(argv=None):
                          page_size=args.kv_page_size,
                          pool_tokens=args.kv_pool_tokens,
                          spec_decode=args.spec_decode,
-                         spec_draft_k=args.spec_draft_k)
+                         spec_draft_k=args.spec_draft_k,
+                         warmup_tokens=args.warmup_tokens)
     web.run_app(build_app(worker), host=args.host, port=args.port)
 
 

@@ -93,6 +93,15 @@ def test_mixed_sampling_groups_split(engine):
         sched.shutdown()
 
 
+def pool_clean(sched):
+    """Leak invariant with prefix caching: once live rows are done, every
+    page is either free or pinned ONLY by the prefix registry — clearing
+    the registry must return the pool to full."""
+    if sched.prefix is not None:
+        sched.prefix.clear()
+    return sched.pool.free_pages == sched.pool.num_pages
+
+
 def test_page_pool_accounting():
     from fastvlm_tpu.serve.batcher import PagePool
 
@@ -144,7 +153,7 @@ def test_paged_bounded_pool_matches_serial(engine):
         for t in threads:
             t.join(timeout=180)
         assert results == want, (results, want)
-        assert sched.pool.free_pages == sched.pool.num_pages  # all returned
+        assert pool_clean(sched)  # all returned
         assert sched.pool.min_free < sched.pool.num_pages     # ...and used
     finally:
         sched.shutdown()
@@ -169,7 +178,7 @@ def test_paged_pool_exhaustion_truncates_not_crashes(engine):
         assert "error" not in last, last
         # truncated output must still be a prefix of the full generation
         assert want.startswith(last["text"])
-        assert sched.pool.free_pages == sched.pool.num_pages
+        assert pool_clean(sched)
     finally:
         sched.shutdown()
 
@@ -292,7 +301,7 @@ def test_admission_into_slot_freed_by_finished_row(engine_noeos):
         tl.join(timeout=180)
         assert results["s"] == want_s, (results["s"], want_s)
         assert t_done["s"] < t_done["long"], t_done
-        assert sched.pool.free_pages == sched.pool.num_pages
+        assert pool_clean(sched)
     finally:
         sched.shutdown()
 
@@ -330,7 +339,7 @@ def test_batch_grows_for_late_request(engine_noeos):
         assert t_done["late"] < t_done["long"], t_done
         assert sched.counters["grown"] >= 1, dict(sched.counters)
         assert sched.counters["admitted"] >= 1, dict(sched.counters)
-        assert sched.pool.free_pages == sched.pool.num_pages
+        assert pool_clean(sched)
     finally:
         sched.shutdown()
 
@@ -363,7 +372,7 @@ def test_batch_shrinks_after_rows_finish(engine_noeos):
             t.join(timeout=180)
         assert results["long"] == want_long, (results["long"], want_long)
         assert sched.counters["shrunk"] >= 1, dict(sched.counters)
-        assert sched.pool.free_pages == sched.pool.num_pages
+        assert pool_clean(sched)
     finally:
         sched.shutdown()
 
@@ -432,7 +441,7 @@ def test_spec_batched_greedy_matches_serial(engine):
         for t in threads:
             t.join(timeout=180)
         assert results == want, (results, want)
-        assert sched.pool.free_pages == sched.pool.num_pages
+        assert pool_clean(sched)
     finally:
         sched.shutdown()
 
@@ -466,7 +475,7 @@ def test_spec_batched_admission_matches_serial(engine_noeos):
         tl.join(timeout=180)
         assert results["late"] == want_late, (results["late"], want_late)
         assert sched.counters["admitted"] >= 1, dict(sched.counters)
-        assert sched.pool.free_pages == sched.pool.num_pages
+        assert pool_clean(sched)
     finally:
         sched.shutdown()
 
@@ -523,9 +532,112 @@ def test_warmup_precompiles_decode_shapes(engine):
                                     max_new_tokens=8))
         assert "error" not in updates[-1], updates[-1]
         assert updates[-1]["text"] == want
-        assert sched.pool.free_pages == sched.pool.num_pages
+        assert pool_clean(sched)
         assert set(sched._warm_shapes) == warm, (
             sched._warm_shapes - warm)
+    finally:
+        sched.shutdown()
+
+
+def test_page_pool_sharing_refcounts():
+    from fastvlm_tpu.serve.batcher import PagePool
+
+    pool = PagePool(4)
+    a = pool.alloc(2)
+    pool.share(a)             # second reference (e.g. prefix registry)
+    pool.release(a)           # first owner gone
+    assert pool.free_pages == 2   # still pinned by the second ref
+    pool.release(a)
+    assert pool.free_pages == 4   # last ref frees
+
+
+def test_prefix_cache_unit():
+    from fastvlm_tpu.serve.batcher import PagePool, PrefixCache
+
+    pool = PagePool(8)
+    pc = PrefixCache(pool, page_size=4)
+    ids = np.arange(10, dtype=np.int32)   # 2 full pages + partial
+    pages = pool.alloc(3)
+    pc.publish(ids, pages)
+    assert len(pc.entries) == 2           # 1-page and 2-page prefixes
+    # exact 2-page hit
+    n, shared = pc.lookup(np.arange(9, dtype=np.int32))
+    assert n == 8 and shared == pages[:2]
+    pool.release(shared)
+    # diverging second page -> falls back to the 1-page prefix
+    other = np.concatenate([np.arange(6), [99, 98, 97]]).astype(np.int32)
+    n, shared = pc.lookup(other)
+    assert n == 4 and shared == pages[:1]
+    pool.release(shared)
+    # row done; registry still pins its 2 full-prefix pages (the partial
+    # third page frees)
+    pool.release(pages)
+    assert pool.free_pages == 6
+    # eviction under pressure frees registry-only pages
+    assert pc.evict_for(8)
+    assert pool.free_pages == 8 and not pc.entries
+
+
+def test_prefix_cache_admission_matches_serial(engine_noeos):
+    """A request admitted after an identical-template request must hit the
+    prefix cache (suffix-only prefill over shared pages) and still produce
+    byte-identical greedy output."""
+    eng = engine_noeos
+    sched = BatchScheduler(eng, window_ms=20, paged=True, page_size=16,
+                           pool_tokens=16384)
+    try:
+        # long shared prefix, different tails (build_prompt adds the same
+        # chat template around both)
+        base = "please describe the picture in great detail " * 4
+        p1, p2 = base + "first", base + "and also the second one"
+        want = {p1: eng.chat(p1, max_new_tokens=48)[0],
+                p2: eng.chat(p2, max_new_tokens=6)[0]}
+        results = {}
+        started = threading.Event()
+
+        def run(p, cap):
+            last = None
+            for last in sched.submit(eng.build_prompt(p),
+                                     max_new_tokens=cap):
+                started.set()
+            assert "error" not in last, last
+            results[p] = last["text"]
+
+        t1 = threading.Thread(target=run, args=(p1, 48))
+        t1.start()
+        assert started.wait(timeout=120)  # p1's pages are published
+        t2 = threading.Thread(target=run, args=(p2, 6))
+        t2.start()
+        t2.join(timeout=180)
+        t1.join(timeout=180)
+        assert results[p2] == want[p2], (results[p2], want[p2])
+        assert results[p1] == want[p1], (results[p1], want[p1])
+        assert sched.counters["prefix_hits"] >= 1, dict(sched.counters)
+        assert sched.counters["prefix_hit_tokens"] >= 16
+        assert pool_clean(sched)
+    finally:
+        sched.shutdown()
+
+
+def test_prefix_cache_eviction_under_pressure(engine_noeos):
+    """With a pool barely larger than one batch, registry-pinned pages must
+    be evicted for live rows instead of deferring/truncating requests."""
+    eng = engine_noeos
+    ln = int(np.asarray(eng.prepare(
+        eng.build_prompt("warm the cache"))["lens"])[0])
+    page = 16
+    pool_pages = -(-(ln + 48) // page) + 3
+    sched = BatchScheduler(eng, window_ms=5, paged=True, page_size=page,
+                           pool_tokens=pool_pages * page)
+    try:
+        for p in ("warm the cache", "now a different one entirely"):
+            want, _ = eng.chat(p, max_new_tokens=8)
+            updates = list(sched.submit(eng.build_prompt(p),
+                                        max_new_tokens=8))
+            assert "error" not in updates[-1], updates[-1]
+            assert updates[-1]["text"] == want
+            assert updates[-1]["stats"]["finish_reason"] == "length"
+        assert pool_clean(sched)
     finally:
         sched.shutdown()
 
@@ -552,7 +664,7 @@ def test_paged_pool_recovers_after_batch_failure(engine):
         assert any("error" in u for u in updates), updates
         assert calls["n"] == 1
         assert sched._pool_kv is None  # dropped, not poisoned
-        assert sched.pool.free_pages == sched.pool.num_pages
+        assert pool_clean(sched)
     finally:
         vlm_mod.decode_chunk_paged = orig
 
@@ -562,6 +674,6 @@ def test_paged_pool_recovers_after_batch_failure(engine):
                                     max_new_tokens=6))
         assert "error" not in updates[-1], updates[-1]
         assert updates[-1]["text"] == want
-        assert sched.pool.free_pages == sched.pool.num_pages
+        assert pool_clean(sched)
     finally:
         sched.shutdown()
