@@ -151,6 +151,16 @@ class PrefixCache:
     def _key(ids, n: int) -> bytes:
         return np.asarray(ids[:n], np.int32).tobytes()
 
+    def peek(self, ids) -> int:
+        """Length of the longest cached full-page prefix of ``ids`` without
+        taking references (batch-prefill planning: the gathered rows reuse
+        the LONGEST prefix common to all, decided before any mapping)."""
+        n_full = len(ids) // self.page
+        for j in range(n_full, 0, -1):
+            if self._key(ids, j * self.page) in self.entries:
+                return j * self.page
+        return 0
+
     def lookup(self, ids) -> Tuple[int, List[int]]:
         """Longest cached full-page prefix of ``ids`` -> (cached_len,
         pages) with one pool reference taken per page FOR THE CALLER
@@ -992,15 +1002,74 @@ class BatchScheduler:
                 done = jnp.asarray(hd)
             return cache, tok, done, key
 
+        # batch-level prefix reuse: when EVERY gathered row extends the same
+        # cached prefix (a burst of template-sharing prompts — the window
+        # gather's common case), map the shared pages into every row and
+        # prefill only the suffixes. One offset serves the batch (the
+        # longest prefix common to all rows); rows bound it by their first
+        # image slot and their last prompt token (its logits seed sampling).
+        batch_cached = 0
+        if self.prefix is not None and tables is not None and n_real:
+            bounds = [min(starts_l[i] if starts_l[i] >= 0
+                          else len(prompt_ids[i]), len(prompt_ids[i]) - 1)
+                      for i in range(n_real)]
+            # peek(ids[:bound]) is page-aligned and <= bound, so the min is
+            # a valid common offset for every row
+            batch_cached = min(self.prefix.peek(prompt_ids[i][:max(bounds[i],
+                                                                   0)])
+                               for i in range(n_real))
+            if batch_cached:
+                n_shared = batch_cached // self.page_size
+                taken = []
+                for i in range(n_real):
+                    ln, shared = self.prefix.lookup(
+                        prompt_ids[i][:batch_cached])
+                    if ln != batch_cached:  # exact entry evicted under us
+                        self.pool.release(shared)
+                        for j, pgs in taken:
+                            self.pool.release(pgs)
+                        taken = None
+                        break
+                    taken.append((i, shared))
+                if taken is None:
+                    batch_cached = 0
+                else:
+                    for i, shared in taken:
+                        self.pool.release(row_pages[i][:n_shared])
+                        row_pages[i][:n_shared] = shared
+                        tables[i, :n_shared] = shared
+                    cache = cache._replace(block_tables=jnp.asarray(tables))
+                    self.counters["prefix_hits"] += n_real
+                    self.counters["prefix_hit_tokens"] += \
+                        batch_cached * n_real
+
         batch_ok = False
         try:
             # everything from the prefill dispatch onward runs under
             # the try: a PREFILL failure must also release the pages
             # and drop the possibly-donated pool arrays (review r2)
             t0 = time.perf_counter()
-            logits, cache = engine._prefill_jit(
-                engine.params, jnp.asarray(np.stack(imgs), engine._dtype),
-                jnp.asarray(ids), jnp.asarray(lens), jnp.asarray(starts), cache)
+            if batch_cached:
+                sfx_rows = [prompt_ids[i][batch_cached:] for i in range(b)]
+                sfx_pad = -(-max(len(s) for s in sfx_rows[:n_real])
+                            // engine.bucket) * engine.bucket
+                sids = np.zeros((b, sfx_pad), np.int32)
+                slens = np.zeros((b,), np.int32)
+                sstarts = np.full((b,), -1, np.int32)
+                for i in range(n_real):
+                    sids[i, :len(sfx_rows[i])] = sfx_rows[i]
+                    slens[i] = len(sfx_rows[i])
+                    if starts_l[i] >= 0:
+                        sstarts[i] = starts_l[i] - batch_cached
+                logits, cache = engine._prefill_suffix_jit(
+                    engine.params, jnp.asarray(np.stack(imgs), engine._dtype),
+                    jnp.asarray(sids), jnp.asarray(slens),
+                    jnp.asarray(sstarts), batch_cached, cache)
+            else:
+                logits, cache = engine._prefill_jit(
+                    engine.params, jnp.asarray(np.stack(imgs), engine._dtype),
+                    jnp.asarray(ids), jnp.asarray(lens), jnp.asarray(starts),
+                    cache)
             key = jax.random.PRNGKey(time.time_ns() % 2**31)
             key, sub = jax.random.split(key)
             tok = sample(sub, logits, sampling)

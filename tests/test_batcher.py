@@ -619,6 +619,47 @@ def test_prefix_cache_admission_matches_serial(engine_noeos):
         sched.shutdown()
 
 
+def test_prefix_cache_batch_burst_matches_serial(engine_noeos):
+    """A gathered BURST of template-sharing prompts must reuse the cached
+    prefix as a batch (one shared offset, suffix-only batch prefill) and
+    still match serial greedy output exactly."""
+    eng = engine_noeos
+    sched = BatchScheduler(eng, window_ms=150, paged=True, page_size=16,
+                           pool_tokens=16384)
+    try:
+        base = "the quick brown fox jumps over the lazy dog " * 3
+        # first request seeds the registry
+        seed = base + "zero"
+        want0, _ = eng.chat(seed, max_new_tokens=4)
+        out = list(sched.submit(eng.build_prompt(seed), max_new_tokens=4))
+        assert out[-1]["text"] == want0
+        hits_before = sched.prefix.hits
+        prompts = [base + t for t in ("one", "two two", "three three three")]
+        want = [eng.chat(p, max_new_tokens=6)[0] for p in prompts]
+        results = [None] * len(prompts)
+
+        def run(i):
+            last = None
+            for last in sched.submit(eng.build_prompt(prompts[i]),
+                                     max_new_tokens=6):
+                pass
+            assert "error" not in last, last
+            results[i] = last["text"]
+
+        threads = [threading.Thread(target=run, args=(i,))
+                   for i in range(len(prompts))]
+        for t in threads:
+            t.start()
+            time.sleep(0.01)  # arrive within one gather window
+        for t in threads:
+            t.join(timeout=180)
+        assert results == want, (results, want)
+        assert sched.prefix.hits > hits_before, dict(sched.counters)
+        assert pool_clean(sched)
+    finally:
+        sched.shutdown()
+
+
 def test_prefix_cache_eviction_under_pressure(engine_noeos):
     """With a pool barely larger than one batch, registry-pinned pages must
     be evicted for live rows instead of deferring/truncating requests."""
