@@ -247,6 +247,39 @@ def bench_decode_ctx(cfg, params, batch: int, ctx: int, steps: int = 64,
             return vlm.decode_chunk_paged(
                 params, cfg, tok, done, cache, key, k=k, s_bucket=max_len,
                 eos_ids=(-1,))
+    elif variant == "paged-xla-pool":
+        # in-place pool attention: no gather/scatter at all; pool sized to
+        # exactly the in-flight tokens (same bytes/step as dense)
+        def chunk(tok, done, cache, key):
+            return vlm.decode_chunk_pool(
+                params, cfg, tok, done, cache, key, k=k, eos_ids=(-1,))
+    elif variant == "paged-xla-steady":
+        # persistent view + DEFERRED pool sync: steady-state chunks decode
+        # on the dense view only (vlm.decode_chunk); the pool is synced
+        # lazily at table-change boundaries (vlm.sync_pool_from_view) —
+        # zero per-chunk paged overhead. This is the serving loop's cost
+        # between admissions; table changes pay gather_view + sync once.
+        view = vlm.gather_view(cache, max_len)
+        state = {"view": view}
+
+        def chunk(tok, done, _cache, key):
+            toks, done, tok, view, key = vlm.decode_chunk(
+                params, cfg, tok, done, state["view"], key, k=k,
+                eos_ids=(-1,))
+            state["view"] = view
+            return toks, done, tok, None, key
+    elif variant == "paged-xla-persist":
+        # persistent view: gather once (tables are static here = pure
+        # steady state), then decode chunks at dense speed + k-col scatter
+        view = vlm.gather_view(cache, max_len)
+        state = {"view": view, "pool": cache}
+
+        def chunk(tok, done, _cache, key):
+            toks, done, tok, view, pool, key = vlm.decode_chunk_view(
+                params, cfg, tok, done, state["view"], state["pool"], key,
+                k=k, eos_ids=(-1,))
+            state["view"], state["pool"] = view, pool
+            return toks, done, tok, None, key
     else:
         def chunk(tok, done, cache, key):
             return vlm.decode_chunk(
@@ -491,8 +524,8 @@ def run_config(name: str, *, iters: int = 40, dtype: str = "bfloat16",
     if mode == "decode_ctx":
         results = {}
         variants = decode_variants or ("dense-xla", "paged-xla",
-                                       "paged-xla-view", "dense-pallas",
-                                       "paged-pallas")
+                                       "paged-xla-view", "paged-xla-pool",
+                                       "dense-pallas", "paged-pallas")
         for ctx in (2048, 4096):
             for variant in variants:
                 tps = bench_decode_ctx(cfg, params, batch, ctx,

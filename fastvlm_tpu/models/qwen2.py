@@ -254,6 +254,52 @@ def _attend(q, k, v, mask, bias=None):
     return out.reshape(b, t, hq * d)
 
 
+def _attend_pool(q, k_pool, v_pool, owner, base, lengths, window=None):
+    """Decode attention IN PLACE over the shared page pool — no per-row
+    gather, no dense view (the third paged-decode formulation after
+    per-token gather and chunk-view; VERDICT r2 #1 "attend the pool in
+    place with segment masking").
+
+    Every row's query attends ALL pool tokens in one (B·Hq, D) x (D, P·page)
+    matmul, with per-token validity ``owner[p] == b and
+    base[p] + slot <= lengths[b]`` masking out other rows' pages. That
+    computes B× the needed logit FLOPs, but decode attention is
+    KV-bandwidth-bound (~1 FLOP/byte vs the MXU's hundreds), so the extra
+    FLOPs ride the same pool read — and the pool is read ONCE per step
+    total instead of once per row via gathered views. Traffic scales with
+    POOL size (tokens actually in flight across the batch), not with
+    B × s_bucket like the chunk-view.
+
+    q: (B, 1, Hq, D); k/v_pool: (P, page, Hkv, D); owner/base: (P,) from
+    ops/kv_cache.pool_ownership; lengths: (B,) pre-write lengths (the
+    step's token at position lengths[b] was just written, mirroring
+    decode_mask's ``k <= lengths`` contract)."""
+    b, t, hq, d = q.shape
+    p, page, hkv, _ = k_pool.shape
+    g = hq // hkv
+    kf = k_pool.reshape(p * page, hkv, d)
+    vf = v_pool.reshape(p * page, hkv, d)
+    qq = q.reshape(b, t, hkv, g, d)
+    scores = jnp.einsum("bthgd,shd->bhgts", qq, kf.astype(q.dtype),
+                        preferred_element_type=jnp.float32) * (d ** -0.5)
+    slot = jnp.arange(page, dtype=jnp.int32)
+    pos = (base[:, None] + slot[None, :]).reshape(-1)       # (P*page,)
+    own = jnp.repeat(owner, page)                           # (P*page,)
+    rows = jnp.arange(b, dtype=jnp.int32)[:, None]
+    valid = (own[None, :] == rows) & (pos[None, :] <= lengths[:, None])
+    if window is not None:
+        valid = valid & (lengths[:, None] - pos[None, :] < window)
+    scores = jnp.where(valid[:, None, None, None, :], scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    # rows with zero valid tokens (finished, pages freed) would softmax all
+    # -inf into NaN; their output is ignored but must not poison the row
+    probs = jnp.where(valid.any(-1)[:, None, None, None, None],
+                      probs, 0.0).astype(vf.dtype)
+    out = jnp.einsum("bhgts,shd->bthgd", probs, vf,
+                     preferred_element_type=jnp.float32).astype(q.dtype)
+    return out.reshape(b, t, hq * d)
+
+
 def fuse_decoder_params(params: Params, cfg: Qwen2Config) -> Params:
     """Concatenate q/k/v -> qkv and gate/up -> gateup weights.
 
@@ -294,7 +340,8 @@ def _decode_attention_pallas(q, keys, values, lengths):
 
 def _layer(x, lp, cfg: Qwen2Config, cos, sin, cache_k, cache_v, mask, lengths,
            prefill, bias=None, prefill_offset=0, block_tables=None,
-           cache_ks=None, cache_vs=None):
+           cache_ks=None, cache_vs=None, pool_owner=None, pool_base=None,
+           pool_bucket=None):
     """One decoder layer.
 
     cache_k/v: (B, S_max, Hkv, D) dense cache rows, (P, page, Hkv, D) pool
@@ -373,7 +420,17 @@ def _layer(x, lp, cfg: Qwen2Config, cos, sin, cache_k, cache_v, mask, lengths,
         cache_k, cache_v = write_token_paged(cache_k, cache_v, k, v,
                                              block_tables, lengths)
         new_cache = (cache_k, cache_v)
-        if use_pallas:
+        if pool_owner is not None:
+            # in-place pool attention: no gathered view at all. With a
+            # watermark bucket, only pages [0, pool_bucket) are read — a
+            # fused slice, valid because the batcher allocates lowest-first
+            # and buckets above its highest mapped page.
+            ck, cv = cache_k, cache_v
+            if pool_bucket is not None:
+                ck, cv = ck[:pool_bucket], cv[:pool_bucket]
+            attn = _attend_pool(q, ck, cv, pool_owner, pool_base,
+                                lengths, window=cfg.attn_window)
+        elif use_pallas:
             from fastvlm_tpu.ops.pallas.decode_attention import (
                 paged_decode_attention,
             )
@@ -431,6 +488,8 @@ def forward(
     prefill_offset=0,  # cache write offset (prefix-reuse continuation)
     remat: bool = False,  # rematerialize layers under grad (training memory)
     seq_sharding=None,  # NamedSharding for (B, T, D) activations (training SP)
+    pool_inplace: bool = False,  # paged decode: attend the pool in place
+    pool_bucket: Optional[int] = None,  # static page watermark (in-place)
 ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     """Run the decoder stack over embeddings; returns (hidden, new_cache).
 
@@ -471,12 +530,24 @@ def forward(
         new_cache = None
     elif isinstance(cache, PagedKVCache):
         tables = cache.block_tables
+        owner = basep = None
+        if pool_inplace and not prefill:
+            # invert the tables ONCE (scan-invariant): per-page owner row +
+            # base virtual position drive the in-place pool attention mask
+            from fastvlm_tpu.ops.kv_cache import pool_ownership
+
+            owner, basep = pool_ownership(tables, cache.num_pages,
+                                          cache.page_size)
+            if pool_bucket is not None:
+                owner, basep = owner[:pool_bucket], basep[:pool_bucket]
 
         def body(carry, layer_in):
             lp, ck, cv = layer_in
             h, (nk, nv) = _layer(carry, lp, cfg, cos, sin, ck, cv, mask,
                                  lengths, prefill, bias, prefill_offset,
-                                 block_tables=tables)
+                                 block_tables=tables,
+                                 pool_owner=owner, pool_base=basep,
+                                 pool_bucket=pool_bucket)
             return h, (nk, nv)
 
         x, (nk, nv) = lax.scan(

@@ -380,6 +380,169 @@ def decode_chunk_paged(
     return toks, done, tok, new_cache, key
 
 
+@functools.partial(jax.jit, static_argnames=("s_bucket",))
+def gather_view(cache, s_bucket: int):
+    """Materialize the dense working view of a paged pool as a KVCache —
+    the persistent-view decode's (re)gather step. Called ONCE per block-
+    table change (admission/release/page growth), not per chunk: in steady
+    state decode_chunk_view runs at dense-cache speed with zero gather."""
+    from fastvlm_tpu.ops.kv_cache import gather_pool_view
+
+    k, v = gather_pool_view(cache, s_bucket)
+    return KVCache(k=k, v=v, lengths=cache.lengths)
+
+
+@functools.partial(jax.jit, static_argnames=("w",), donate_argnums=(1,))
+def sync_pool_from_view(view: KVCache, pool, synced_lens: jnp.ndarray,
+                        w: int):
+    """Scatter the view's columns [synced_lens[b], synced_lens[b] + w) back
+    into the pool — the deferred pool sync of the persistent-view decode.
+
+    Steady-state chunks decode on the dense view ONLY (vlm.decode_chunk —
+    zero paged overhead); the pool is brought up to date lazily, right
+    before an event that reads it (re-gather after a block-table change,
+    prefix-cache registration). ``w`` is a static width ≥ the true number
+    of new columns: writing past a row's real length is SAFE because (a)
+    slots beyond the row's mapped pages scatter out of bounds and are
+    dropped, and (b) mapped-but-future slots are overwritten by real
+    writes before any reader unmasks them (all pool reads mask k > length).
+
+    Returns the updated pool (lengths synced to the view's)."""
+    from fastvlm_tpu.ops.kv_cache import write_tokens_paged_rows
+
+    s_max = view.max_len
+    start = jnp.clip(synced_lens, 0, s_max - w)
+
+    def writeback(carry, layer_in):
+        kp, vp, vk, vv = layer_in
+        ext = jax.vmap(
+            lambda row_k, row_v, st: (
+                lax.dynamic_slice_in_dim(row_k, st, w, axis=0),
+                lax.dynamic_slice_in_dim(row_v, st, w, axis=0)))(
+                    vk, vv, start)
+        kp, vp = write_tokens_paged_rows(kp, vp, ext[0], ext[1],
+                                         pool.block_tables, start)
+        return carry, (kp, vp)
+
+    _, (new_kp, new_vp) = lax.scan(
+        writeback, None, (pool.k_pages, pool.v_pages, view.k, view.v))
+    return pool._replace(k_pages=new_kp, v_pages=new_vp,
+                         lengths=view.lengths)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "k", "eos_ids", "sampling"),
+                   donate_argnums=(4, 5))  # donate view + pool
+def decode_chunk_view(
+    params: Params,
+    cfg: FastVLMConfig,
+    last_tok: jnp.ndarray,   # (B,)
+    done: jnp.ndarray,       # (B,) bool
+    view: KVCache,           # persistent dense view (gather_view)
+    pool,                    # PagedKVCache (stays authoritative)
+    key: jax.Array,
+    *,
+    k: int = 8,
+    eos_ids: Tuple[int, ...] = (151645,),
+    sampling: SamplingParams = SamplingParams(),
+):
+    """Persistent-view paged decode — steady-state at dense speed.
+
+    decode_chunk_paged re-gathers the pool into a dense view EVERY chunk
+    (~2 extra KV passes per k tokens = the 0.85x-of-dense tax measured in
+    docs/PERF.md). But the view only becomes stale when block tables
+    change, and the batcher changes tables exclusively at chunk boundaries
+    (admission / release / page growth). So the serving loop can carry the
+    dense view ACROSS chunks: re-gather via gather_view only on a table
+    change, and per chunk pay only a k-column scatter-back that keeps the
+    pool authoritative (admission prefill and prefix caching read pool
+    pages). Steady-state traffic = dense decode + one k-token scatter.
+
+    Returns (tokens (B, k), done, last_tok, view, pool, key).
+    """
+    from fastvlm_tpu.ops.kv_cache import write_tokens_paged_rows
+
+    start_lens = view.lengths
+    s_bucket = view.max_len
+    toks, done, tok, view, key = _chunk_scan(
+        params, cfg, last_tok, done, view, key, k, eos_ids, sampling)
+
+    def writeback(carry, layer_in):
+        kp, vp, vk, vv = layer_in
+        ext = jax.vmap(
+            lambda row_k, row_v, st: (
+                lax.dynamic_slice_in_dim(row_k, st, k, axis=0),
+                lax.dynamic_slice_in_dim(row_v, st, k, axis=0)))(
+                    vk, vv, jnp.clip(start_lens, 0, s_bucket - k))
+        kp, vp = write_tokens_paged_rows(kp, vp, ext[0], ext[1],
+                                         pool.block_tables, start_lens)
+        return carry, (kp, vp)
+
+    _, (new_kp, new_vp) = lax.scan(
+        writeback, None, (pool.k_pages, pool.v_pages, view.k, view.v))
+    new_pool = pool._replace(k_pages=new_kp, v_pages=new_vp,
+                             lengths=view.lengths)
+    return toks, done, tok, view, new_pool, key
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "k", "eos_ids", "sampling",
+                                             "p_bucket"),
+                   donate_argnums=(4,))  # donate the pool: in-place updates
+def decode_chunk_pool(
+    params: Params,
+    cfg: FastVLMConfig,
+    last_tok: jnp.ndarray,   # (B,)
+    done: jnp.ndarray,       # (B,) bool
+    cache,                   # PagedKVCache
+    key: jax.Array,
+    *,
+    k: int = 8,
+    eos_ids: Tuple[int, ...] = (151645,),
+    sampling: SamplingParams = SamplingParams(),
+    p_bucket: Optional[int] = None,
+):
+    """In-place pool paged decode — no gather, no dense view, no write-back.
+
+    The third paged-decode formulation (after per-token gather and the
+    chunk-view's gather-once-per-chunk): each step attends the WHOLE page
+    pool with a per-token ownership mask (qwen2._attend_pool), so the only
+    KV traffic is one pool read per step — the same bytes dense decode
+    reads, with zero gather/scatter overhead, and it scales with tokens
+    actually in flight rather than B × s_bucket. The extra cross-row logit
+    FLOPs ride the MXU for free (decode attention is bandwidth-bound).
+
+    Unlike decode_chunk_paged there is no s_bucket: traffic is set by POOL
+    size, or — when ``p_bucket`` is given — by the first p_bucket pages
+    only (the batcher's page-watermark bucket; requires every mapped page
+    id < p_bucket, which a lowest-first allocator guarantees). Attention
+    reads pool[:p_bucket] as a fused slice; writes still target the full
+    pool, so there is no write-back pass. Returns (tokens (B, k), done,
+    last_tok, cache, key) — same contract as decode_chunk_paged.
+    """
+    eos = jnp.asarray(eos_ids, jnp.int32)
+    dtype = resolve_dtype(cfg.decoder.compute_dtype)
+    trivial_mask = jnp.ones((last_tok.shape[0], 1, 1), bool)  # attn is set
+    # directly by the pool route; pos_terms only needs a shape (rope-only)
+
+    def body(carry, _):
+        tok, done, cache, key = carry
+        embeds = qwen2.embed(params["decoder"], tok[:, None]).astype(dtype)
+        hidden, cache = qwen2.forward(
+            params["decoder"], cfg.decoder, embeds, cache.lengths[:, None],
+            cache=cache, mask=trivial_mask, prefill=False, pool_inplace=True,
+            pool_bucket=p_bucket)
+        logits = qwen2.logits_from_hidden(params["decoder"], hidden,
+                                          cfg.decoder)[:, 0]
+        key, sub = jax.random.split(key)
+        new = sample(sub, logits, sampling)
+        new = jnp.where(done, 0, new)
+        done = done | jnp.isin(new, eos)
+        return (new, done, cache, key), new
+
+    (tok, done, cache, key), toks = lax.scan(
+        body, (last_tok, done, cache, key), None, length=k)
+    return toks.T, done, tok, cache, key
+
+
 class GenerateResult(NamedTuple):
     tokens: jnp.ndarray        # (B, max_new_tokens) int32, pad after EOS
     num_generated: jnp.ndarray  # (B,) int32 (including the EOS token)

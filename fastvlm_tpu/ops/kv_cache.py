@@ -253,6 +253,31 @@ def write_tokens_paged_rows(layer_k, layer_v, new_k, new_v, block_tables,
             layer_v.reshape(-1, page, h, d))
 
 
+def pool_ownership(block_tables, num_pages, page_size):
+    """Invert the block tables: per-page (owner row, base virtual position).
+
+    Returns (owner (P,) int32 — batch row owning each pool page, -1 if
+    unmapped; base (P,) int32 — virtual position of the page's slot 0 in its
+    owner's sequence). This is the whole working state the in-place pool
+    attention (models/qwen2._attend_pool) needs to attend the pool WITHOUT
+    gathering a dense per-row view: token validity for row b is
+    ``owner[p] == b and base[p] + slot <= lengths[b]``.
+
+    Block tables are invariant within a decode chunk (serve/batcher.py maps
+    the chunk's pages up front), so callers compute this once per chunk
+    inside the jitted chunk fn — a (B * pages_per_seq)-element scatter,
+    nothing per token."""
+    b, n = block_tables.shape
+    pages = block_tables.reshape(-1)
+    rows = jnp.repeat(jnp.arange(b, dtype=jnp.int32), n)
+    base = jnp.tile(jnp.arange(n, dtype=jnp.int32) * page_size, b)
+    idx = jnp.where(pages < 0, jnp.int32(2 ** 30), pages)  # drop unmapped
+    owner = jnp.full((num_pages,), -1, jnp.int32).at[idx].set(
+        rows, mode="drop")
+    basep = jnp.zeros((num_pages,), jnp.int32).at[idx].set(base, mode="drop")
+    return owner, basep
+
+
 def gather_pages(layer_pages, block_tables):
     """Dense (B, pages_per_seq * page, H, D) view of one layer's pool —
     the XLA-attention fallback (the Pallas kernel in

@@ -247,3 +247,233 @@ def test_unmapped_tail_pages_do_not_change_logits():
     tail_unmapped = run([[1, -1, -1]])  # t + steps fits in one page
     for a, b_ in zip(full, tail_unmapped):
         np.testing.assert_allclose(a, b_, atol=1e-5)
+
+
+def test_pool_inplace_decode_matches_dense_across_chunks():
+    """vlm.decode_chunk_pool (in-place pool attention, zero gather/scatter)
+    must produce the dense path's tokens with a poisoned, oversized pool
+    (extra unmapped pages must be masked out by ownership, and rows must
+    never see each other's pages)."""
+    from fastvlm_tpu.config import FastViTConfig, FastVLMConfig, ProjectorConfig
+    from fastvlm_tpu.models import vlm
+    from fastvlm_tpu.ops.sampling import SamplingParams
+
+    vis = FastViTConfig(layers=(1, 1, 1, 1, 1), embed_dims=(8, 16, 24, 32, 40),
+                        image_size=256)
+    cfg = FastVLMConfig(
+        vision=vis,
+        projector=ProjectorConfig(mm_hidden_size=80, hidden_size=32),
+        decoder=TINY,
+    )
+    params = vlm.init(jax.random.PRNGKey(0), cfg)
+    b, t, k, chunks = 2, 16, 4, 3
+    ids = jax.random.randint(jax.random.PRNGKey(1), (b, t), 0, 100)
+    starts = jnp.asarray([-1, -1], jnp.int32)
+    pages_per_seq = -(-(t + k * chunks) // PAGE)
+
+    dense = init_cache(TINY.num_layers, b, pages_per_seq * PAGE,
+                       TINY.num_kv_heads, TINY.head_dim, jnp.float32)
+    # pool with 5 extra never-mapped pages, poisoned so ownership leaks show
+    paged = init_paged_cache(TINY.num_layers, b, b * pages_per_seq + 5, PAGE,
+                             pages_per_seq, TINY.num_kv_heads, TINY.head_dim,
+                             jnp.float32)
+    paged = paged._replace(
+        k_pages=jnp.full_like(paged.k_pages, 7.0),
+        v_pages=jnp.full_like(paged.v_pages, -7.0),
+        block_tables=_alloc_tables(b, pages_per_seq, 11) + 5)  # 0-4 unused
+
+    outs = {}
+    for name, cache in (("dense", dense), ("pool-inplace", paged)):
+        seq_lens = jnp.asarray([t, t - 5], jnp.int32)
+        logits, cache = vlm.prefill(params, cfg, None, ids, seq_lens, starts,
+                                    cache)
+        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        done = jnp.zeros((b,), bool)
+        key = jax.random.PRNGKey(7)
+        got = []
+        for _ in range(chunks):
+            if name == "pool-inplace":
+                out, done, tok, cache, key = vlm.decode_chunk_pool(
+                    params, cfg, tok, done, cache, key, k=k, eos_ids=(127,),
+                    sampling=SamplingParams(temperature=0.0))
+            else:
+                out, done, tok, cache, key = vlm.decode_chunk(
+                    params, cfg, tok, done, cache, key, k=k, eos_ids=(127,),
+                    sampling=SamplingParams(temperature=0.0))
+            got.append(np.asarray(out))
+        outs[name] = np.concatenate(got, axis=1)
+    np.testing.assert_array_equal(outs["pool-inplace"], outs["dense"])
+
+
+def test_pool_inplace_freed_row_stays_inert():
+    """A row whose pages were freed mid-flight (table = -1, finished) must
+    not poison live rows: all-invalid softmax is guarded to zeros and the
+    dead row keeps emitting pad while the live row's tokens match dense."""
+    from fastvlm_tpu.config import FastViTConfig, FastVLMConfig, ProjectorConfig
+    from fastvlm_tpu.models import vlm
+    from fastvlm_tpu.ops.sampling import SamplingParams
+
+    vis = FastViTConfig(layers=(1, 1, 1, 1, 1), embed_dims=(8, 16, 24, 32, 40),
+                        image_size=256)
+    cfg = FastVLMConfig(
+        vision=vis,
+        projector=ProjectorConfig(mm_hidden_size=80, hidden_size=32),
+        decoder=TINY,
+    )
+    params = vlm.init(jax.random.PRNGKey(0), cfg)
+    b, t, k = 2, 16, 4
+    ids = jax.random.randint(jax.random.PRNGKey(1), (b, t), 0, 100)
+    starts = jnp.asarray([-1, -1], jnp.int32)
+    pages_per_seq = -(-(t + 2 * k) // PAGE)
+
+    dense = init_cache(TINY.num_layers, b, pages_per_seq * PAGE,
+                       TINY.num_kv_heads, TINY.head_dim, jnp.float32)
+    paged = init_paged_cache(TINY.num_layers, b, b * pages_per_seq, PAGE,
+                             pages_per_seq, TINY.num_kv_heads, TINY.head_dim,
+                             jnp.float32)
+    paged = paged._replace(block_tables=_alloc_tables(b, pages_per_seq, 13))
+
+    outs = {}
+    for name, cache in (("dense", dense), ("pool-inplace", paged)):
+        seq_lens = jnp.asarray([t, t - 5], jnp.int32)
+        logits, cache = vlm.prefill(params, cfg, None, ids, seq_lens, starts,
+                                    cache)
+        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        done = jnp.asarray([False, True])  # row 1 finished at admission
+        key = jax.random.PRNGKey(7)
+        if name == "pool-inplace":
+            # free row 1's pages like the batcher does on finish
+            cache = cache._replace(block_tables=cache.block_tables.at[1].set(-1))
+            out, done, tok, cache, key = vlm.decode_chunk_pool(
+                params, cfg, tok, done, cache, key, k=k, eos_ids=(127,),
+                sampling=SamplingParams(temperature=0.0))
+        else:
+            out, done, tok, cache, key = vlm.decode_chunk(
+                params, cfg, tok, done, cache, key, k=k, eos_ids=(127,),
+                sampling=SamplingParams(temperature=0.0))
+        outs[name] = np.asarray(out)
+    np.testing.assert_array_equal(outs["pool-inplace"][0], outs["dense"][0])
+    np.testing.assert_array_equal(outs["pool-inplace"][1], 0)
+
+
+def test_pool_inplace_bucketed_matches_unbucketed():
+    """p_bucket (page-watermark slice) must not change tokens when every
+    mapped page id is below the bucket."""
+    from fastvlm_tpu.config import FastViTConfig, FastVLMConfig, ProjectorConfig
+    from fastvlm_tpu.models import vlm
+    from fastvlm_tpu.ops.sampling import SamplingParams
+
+    vis = FastViTConfig(layers=(1, 1, 1, 1, 1), embed_dims=(8, 16, 24, 32, 40),
+                        image_size=256)
+    cfg = FastVLMConfig(
+        vision=vis,
+        projector=ProjectorConfig(mm_hidden_size=80, hidden_size=32),
+        decoder=TINY,
+    )
+    params = vlm.init(jax.random.PRNGKey(0), cfg)
+    b, t, k = 2, 16, 4
+    ids = jax.random.randint(jax.random.PRNGKey(1), (b, t), 0, 100)
+    starts = jnp.asarray([-1, -1], jnp.int32)
+    pages_per_seq = -(-(t + k) // PAGE)
+    used = b * pages_per_seq  # lowest-first allocator: pages [0, used)
+
+    def run(p_bucket):
+        # pool 3x larger than needed, poisoned above the watermark
+        cache = init_paged_cache(TINY.num_layers, b, 3 * used, PAGE,
+                                 pages_per_seq, TINY.num_kv_heads,
+                                 TINY.head_dim, jnp.float32)
+        cache = cache._replace(
+            k_pages=jnp.full_like(cache.k_pages, 9.0),
+            v_pages=jnp.full_like(cache.v_pages, -9.0),
+            block_tables=_alloc_tables(b, pages_per_seq, 17))
+        seq_lens = jnp.asarray([t, t - 5], jnp.int32)
+        logits, cache = vlm.prefill(params, cfg, None, ids, seq_lens, starts,
+                                    cache)
+        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        done = jnp.zeros((b,), bool)
+        out, *_ = vlm.decode_chunk_pool(
+            params, cfg, tok, done, cache, jax.random.PRNGKey(7), k=k,
+            eos_ids=(127,), sampling=SamplingParams(temperature=0.0),
+            p_bucket=p_bucket)
+        return np.asarray(out)
+
+    np.testing.assert_array_equal(run(used), run(None))
+
+
+def test_persistent_view_with_deferred_sync_matches_dense():
+    """The steady-state serving loop: decode chunks on a persistent dense
+    view (vlm.decode_chunk — zero paged overhead), lazily sync the pool at
+    a simulated table-change boundary (vlm.sync_pool_from_view), re-gather
+    (vlm.gather_view) and continue. Tokens must match the dense baseline
+    across the re-gather, proving the deferred sync left the pool exact."""
+    from fastvlm_tpu.config import FastViTConfig, FastVLMConfig, ProjectorConfig
+    from fastvlm_tpu.models import vlm
+    from fastvlm_tpu.ops.sampling import SamplingParams
+
+    vis = FastViTConfig(layers=(1, 1, 1, 1, 1), embed_dims=(8, 16, 24, 32, 40),
+                        image_size=256)
+    cfg = FastVLMConfig(
+        vision=vis,
+        projector=ProjectorConfig(mm_hidden_size=80, hidden_size=32),
+        decoder=TINY,
+    )
+    params = vlm.init(jax.random.PRNGKey(0), cfg)
+    b, t, k, chunks = 2, 16, 4, 4
+    ids = jax.random.randint(jax.random.PRNGKey(1), (b, t), 0, 100)
+    starts = jnp.asarray([-1, -1], jnp.int32)
+    pages_per_seq = -(-(t + k * chunks) // PAGE)
+    s_bucket = pages_per_seq * PAGE
+
+    # dense baseline
+    dense = init_cache(TINY.num_layers, b, s_bucket, TINY.num_kv_heads,
+                       TINY.head_dim, jnp.float32)
+    seq_lens = jnp.asarray([t, t - 5], jnp.int32)
+    logits, dense = vlm.prefill(params, cfg, None, ids, seq_lens, starts,
+                                dense)
+    tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    done = jnp.zeros((b,), bool)
+    key = jax.random.PRNGKey(7)
+    want = []
+    dt, dd, dk = tok, done, key
+    dcache = dense
+    for _ in range(chunks):
+        out, dd, dt, dcache, dk = vlm.decode_chunk(
+            params, cfg, dt, dd, dcache, dk, k=k, eos_ids=(127,),
+            sampling=SamplingParams(temperature=0.0))
+        want.append(np.asarray(out))
+    want = np.concatenate(want, axis=1)
+
+    # persistent-view loop with a mid-run sync + re-gather
+    paged = init_paged_cache(TINY.num_layers, b, b * pages_per_seq + 3, PAGE,
+                             pages_per_seq, TINY.num_kv_heads, TINY.head_dim,
+                             jnp.float32)
+    paged = paged._replace(block_tables=_alloc_tables(b, pages_per_seq, 23))
+    seq_lens = jnp.asarray([t, t - 5], jnp.int32)
+    logits, paged = vlm.prefill(params, cfg, None, ids, seq_lens, starts,
+                                paged)
+    tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    done = jnp.zeros((b,), bool)
+    key = jax.random.PRNGKey(7)
+    view = vlm.gather_view(paged, s_bucket)
+    synced = paged.lengths
+    got = []
+    for ci in range(chunks):
+        out, done, tok, view, key = vlm.decode_chunk(
+            params, cfg, tok, done, view, key, k=k, eos_ids=(127,),
+            sampling=SamplingParams(temperature=0.0))
+        got.append(np.asarray(out))
+        if ci == 1:  # simulated table-change boundary: sync + re-gather
+            paged = vlm.sync_pool_from_view(view, paged, synced, w=2 * k)
+            synced = paged.lengths
+            view = vlm.gather_view(paged, s_bucket)
+    got = np.concatenate(got, axis=1)
+    np.testing.assert_array_equal(got, want)
+
+    # final sync leaves the pool exactly equal to the view's live columns
+    paged = vlm.sync_pool_from_view(view, paged, synced, w=2 * k)
+    view2 = vlm.gather_view(paged, s_bucket)
+    lens = np.asarray(view.lengths)
+    vk, v2k = np.asarray(view.k), np.asarray(view2.k)
+    for row in range(b):
+        np.testing.assert_allclose(v2k[:, row, :lens[row]],
+                                   vk[:, row, :lens[row]], atol=0)
