@@ -219,7 +219,8 @@ class BatchScheduler:
                  continuous: bool = True, fairness_s: float = 2.0,
                  spec: bool = False, spec_draft_k: int = 8,
                  spec_ngram_n: int = 3, spec_max_rows: int = 1,
-                 spec_min_accept: float = 0.1, prefix_cache: bool = True):
+                 spec_min_accept: float = 0.1, prefix_cache: bool = True,
+                 persist_view: bool = True):
         self.engine = engine
         self.max_batch = max_batch
         # speculative greedy serving: prompt-lookup verify passes replace
@@ -260,6 +261,14 @@ class BatchScheduler:
         # bucketed dense view once per chunk instead of per token — the
         # gather-free serving decode. False = legacy per-token gather path.
         self.chunk_view = chunk_view
+        # persistent-view decode (vlm.gather_view + decode_chunk +
+        # sync_pool_from_view): carry the dense view ACROSS chunks, sync the
+        # pool lazily only at table-consuming boundaries (admission, resize,
+        # spec dispatch, bucket growth). Steady-state decode then runs at
+        # dense-cache speed (0.99x dense measured vs chunk-view's 0.85x,
+        # docs/PERF.md); worst case (admission every chunk) matches the
+        # chunk-view's cost. Requires chunk_view.
+        self.persist_view = persist_view and chunk_view
         self.queue: "queue.Queue[_Request]" = queue.Queue()
         self._stop = False
         # paged KV serving: one shared device page pool; rows map pages as
@@ -711,6 +720,35 @@ class BatchScheduler:
         ttfts = [0.0] * b
         queue_ms = [0.0] * b
         tables_dirty = False  # host tables changed; push at next boundary
+        # persistent-view decode state: pview carries the dense working view
+        # across chunks; the pool's generated columns are stale until
+        # flush_view scatters them back (k columns per decoded chunk, one
+        # compiled program reused). pview_base = pool lengths at gather time
+        # (host-tracked: cur_len mirrors device lengths for live rows; dead
+        # rows' stale entries scatter through their zeroed tables and drop).
+        pview = None
+        pview_chunks = 0
+        pview_base = None
+
+        def flush_view(cache):
+            """Sync the pool from the persistent view and drop the view.
+            Called before anything that reads pool KV or row identity
+            (admission prefill, resize, spec dispatch, re-gather)."""
+            nonlocal pview, pview_chunks, pview_base
+            if pview is None:
+                return cache
+            for j in range(pview_chunks):
+                cache = vlm.sync_pool_from_view(
+                    pview, cache,
+                    jnp.asarray(pview_base + j * flush_view.k, np.int32),
+                    w=flush_view.k)
+                self.counters["view_syncs"] += 1
+            pview = None
+            pview_chunks = 0
+            pview_base = None
+            return cache
+
+        flush_view.k = 0  # set once the chunk width is known
 
         def n_active() -> int:
             return sum(sl is not None for sl in slots)
@@ -866,6 +904,10 @@ class BatchScheduler:
                         self.trace.append((time.perf_counter(), "defer",
                                            "group"))
                     continue  # compatible requests behind it may still admit
+                # admission reads pool KV (1-row prefill view) and pool
+                # lengths, and rebinds a slot's identity: the persistent
+                # view must be synced back and dropped first
+                cache = flush_view(cache)
                 if n_active() >= b:
                     new_b = _round_batch(n_active() + 1)
                     if b >= self.max_batch or new_b > self.max_batch:
@@ -1095,6 +1137,7 @@ class BatchScheduler:
             num = hist = hist_len = None
             admitting = tables is not None and self.continuous
             k = min(engine.chunk, max_new)
+            flush_view.k = k
             # adaptive speculation state: spec_live tracks whether the CURRENT
             # chunk uses verify passes; histories are rebuilt from host state
             # (prompt_ids + texts) on every entry, so spec can switch on/off
@@ -1161,6 +1204,8 @@ class BatchScheduler:
                     self.trace.append((time.perf_counter(), "pre_disp"))
                 t_disp = time.perf_counter()
                 if spec_live:
+                    # spec_chunk_paged reads/writes the pool directly
+                    cache = flush_view(cache)
                     # bucket the view with the spec slack: live rows' verify
                     # writes must stay inside [0, s_bucket)
                     active = [cur_len[i] for i in range(b)
@@ -1181,6 +1226,32 @@ class BatchScheduler:
                         carry.last_tok, carry.done, carry.num, carry.cache,
                         carry.hist, carry.hist_len)
                     counts_host = np.asarray(counts)
+                elif tables is not None and self.persist_view:
+                    # persistent view: decode on the carried dense view at
+                    # dense-cache speed; gather only when the view is stale
+                    # (dropped at a flush boundary) or its bucket overflowed
+                    active = [cur_len[i] for i in range(b)
+                              if slots[i] is not None]
+                    cap = tables.shape[1] * self.page_size
+                    s_bucket = min(cap, _round_bucket(
+                        max(active) + k, self.page_size))
+                    if pview is None or pview.max_len < s_bucket + k:
+                        cache = flush_view(cache)  # old-bucket view, if any
+                        # headroom: one extra bucket step so the view isn't
+                        # re-gathered every chunk once rows grow past it
+                        vb = min(cap, _round_bucket(
+                            s_bucket + k, self.page_size))
+                        pview = vlm.gather_view(cache, vb)
+                        pview_base = np.asarray(
+                            [cur_len[i] if slots[i] is not None else 0
+                             for i in range(b)], np.int32)
+                        pview_chunks = 0
+                        self.counters["view_gathers"] += 1
+                    shape_key = ("persist", b, pview.max_len, k)
+                    toks, done, tok, pview, key = vlm.decode_chunk(
+                        engine.params, cfg, tok, done, pview, key, k=k,
+                        eos_ids=engine.eos_ids, sampling=sampling)
+                    pview_chunks += 1
                 elif tables is not None and self.chunk_view:
                     # bucket the chunk's dense view to the longest active row
                     # + k (device lengths advance k per chunk per row)
