@@ -50,6 +50,7 @@ class ModelWorker:
         spec_decode: bool = False,
         spec_draft_k: int = 8,
         warmup_tokens: int = 0,
+        persist_view: bool = True,
     ):
         self.engine = engine
         self.model_name = model_name
@@ -86,7 +87,8 @@ class ModelWorker:
             self.scheduler = BatchScheduler(engine, page_size=page_size,
                                             pool_tokens=pool_tokens,
                                             spec=spec_decode,
-                                            spec_draft_k=spec_draft_k)
+                                            spec_draft_k=spec_draft_k,
+                                            persist_view=persist_view)
             if warmup_tokens > 0:
                 # startup warmup: precompile the decode-dispatch shape grid
                 # so no live request ever pays a mid-flight XLA compile

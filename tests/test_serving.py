@@ -221,12 +221,17 @@ def test_openai_compatible_endpoint():
     assert asyncio.run(run())
 
 
-def test_soak_32_concurrent_mixed_requests_paged_pool():
+@pytest.mark.parametrize(
+    "persist", [True, pytest.param(False, marks=pytest.mark.slow)],
+    ids=["persist", "chunkview"])
+def test_soak_32_concurrent_mixed_requests_paged_pool(persist):
     """Soak (VERDICT r2 #9): 32 concurrent mixed-length requests through the
     worker HTTP app + batcher + paged pool, with a pool small enough to hit
     exhaustion-truncation mid-run. Every stream must terminate cleanly, every
     output must be a prefix of (usually equal to) the serial engine result,
-    and the pool must return to fully free afterwards."""
+    and the pool must return to fully free afterwards. Parametrized over the
+    persist-view decode default (VERDICT r3 #1); the non-default chunk-view
+    variant runs under -m slow."""
     from aiohttp.test_utils import TestClient, TestServer
 
     from fastvlm_tpu.engine import build_engine
@@ -241,7 +246,8 @@ def test_soak_32_concurrent_mixed_requests_paged_pool():
         engine.build_prompt(prompts[0]), None)["lens"])[0])
     pool_pages = 8 * (-(-ln // page)) + 10
     worker = ModelWorker(engine, "tiny", continuous_batching=True,
-                         page_size=page, pool_tokens=pool_pages * page)
+                         page_size=page, pool_tokens=pool_pages * page,
+                         persist_view=persist)
     app = build_app(worker)
     plans = [(prompts[i % 8], (16, 64, 128)[i % 3]) for i in range(32)]
     serial = {}
