@@ -133,6 +133,7 @@ class Engine:
         # gather to ~12% of KV traffic (docs/PERF.md round-3 A/B)
         chunk: int = 16,
         eos_ids: Optional[Tuple[int, ...]] = None,
+        mesh=None,
     ):
         self.cfg = cfg
         if isinstance(params, dict) and isinstance(
@@ -167,6 +168,59 @@ class Engine:
         # KV cache storage dtype (int8 = quantized cache, ops/kv_cache.py)
         self._kv_dtype = (jnp.int8 if cfg.decoder.kv_cache_dtype == "int8"
                           else self._dtype)
+        # Tensor-parallel serving (VERDICT r3 #4): with a mesh, the decoder
+        # params are NamedSharding'd megatron-style over the "model" axis
+        # (parallel/sharding.shard_vlm — the layout dryrun-proven for TP
+        # decode parity) and every KV cache is sharded over kv heads. The
+        # host API is unchanged: worker/batcher sit above this untouched.
+        # This is the configuration 7B bf16 decode REQUIRES — 15.2 GB does
+        # not fit one 16 GB chip and int8 decode is a ~10x platform
+        # pessimization (docs/PERF.md int8-decode section).
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from fastvlm_tpu.parallel.mesh import MODEL_AXIS
+            from fastvlm_tpu.parallel.sharding import shard_vlm
+
+            self.params = shard_vlm(self.params, cfg, mesh)
+            self._replicated = NamedSharding(mesh, P())
+            tp = mesh.shape[MODEL_AXIS]
+            # shard KV over kv heads when they divide the model axis;
+            # GQA models with fewer kv heads than chips keep KV replicated
+            # (queries are still head-sharded; XLA gathers per shard)
+            kv_ax = (MODEL_AXIS
+                     if cfg.decoder.num_kv_heads % tp == 0 else None)
+            self._kv_sharding = NamedSharding(
+                mesh, P(None, None, None, kv_ax, None))
+            self._kv_scale_sharding = NamedSharding(
+                mesh, P(None, None, None, kv_ax))
+
+    # ---------------- mesh placement ----------------
+
+    def _put(self, x, sharding=None):
+        """Place a host/default-device array on the engine's mesh
+        (replicated unless a sharding is given). Identity without a mesh —
+        every call site works unchanged single-device."""
+        if self.mesh is None or x is None:
+            return x
+        return jax.device_put(x, sharding or self._replicated)
+
+    def shard_cache(self, cache):
+        """Place a fresh KVCache on the mesh: k/v sharded over kv heads
+        (axis 3 of (L, B, S, H_kv, D)), lengths + int8 scales replicated/
+        head-sharded to match. Identity without a mesh."""
+        if self.mesh is None:
+            return cache
+        return cache._replace(
+            k=jax.device_put(cache.k, self._kv_sharding),
+            v=jax.device_put(cache.v, self._kv_sharding),
+            lengths=self._put(cache.lengths),
+            k_scale=(None if cache.k_scale is None else jax.device_put(
+                cache.k_scale, self._kv_scale_sharding)),
+            v_scale=(None if cache.v_scale is None else jax.device_put(
+                cache.v_scale, self._kv_scale_sharding)),
+        )
 
     # ---------------- prompt/image preparation ----------------
 
@@ -282,11 +336,11 @@ class Engine:
         pad_to = -(-(len(row) + 1) // self.bucket) * self.bucket
         ids_a, lens, starts = pad_batch([row], [start], pad_to)
         return {
-            "images": images,
-            "vision_embeds": vision_embeds,
-            "ids": jnp.asarray(ids_a),
-            "lens": jnp.asarray(lens),
-            "starts": jnp.asarray(starts),
+            "images": self._put(images),
+            "vision_embeds": self._put(vision_embeds),
+            "ids": self._put(jnp.asarray(ids_a)),
+            "lens": self._put(jnp.asarray(lens)),
+            "starts": self._put(jnp.asarray(starts)),
         }
 
     def _prepare_multi(self, prompt: str, images_list):
@@ -313,10 +367,10 @@ class Engine:
         starts_arr = jnp.asarray(np.asarray(starts, np.int32)[None])
         return {
             "images": None,
-            "vision_embeds": vis[None],  # (1, M, N, D): multi-span overlay
-            "ids": jnp.asarray(ids_a),
-            "lens": jnp.asarray(lens),
-            "starts": starts_arr,
+            "vision_embeds": self._put(vis[None]),  # (1,M,N,D) multi-span
+            "ids": self._put(jnp.asarray(ids_a)),
+            "lens": self._put(jnp.asarray(lens)),
+            "starts": self._put(starts_arr),
         }
 
     def _encode_multi_jit(self, images):
@@ -394,13 +448,14 @@ class Engine:
         b, t = ids.shape
         stats = RequestStats(prompt_tokens=int(_sync(lens)[0]))
 
-        cache = init_cache(
+        cache = self.shard_cache(init_cache(
             cfg.decoder.num_layers, b,
             (vlm.spec_cache_len(t, max_new, draft_k) if spec
              else t + max_new),
-            cfg.decoder.num_kv_heads, cfg.decoder.head_dim, self._kv_dtype)
+            cfg.decoder.num_kv_heads, cfg.decoder.head_dim, self._kv_dtype))
 
-        key = jax.random.PRNGKey(seed if seed is not None else (time.time_ns() % 2**31))
+        key = self._put(jax.random.PRNGKey(
+            seed if seed is not None else (time.time_ns() % 2**31)))
 
         t0 = time.perf_counter()
         logits, cache = self._prefill_jit(
@@ -422,7 +477,7 @@ class Engine:
                     and out_ids[-len(kid):] == kid:
                 del out_ids[-len(kid):]
                 done_host = True
-        done = jnp.asarray([done_host])
+        done = self._put(jnp.asarray([done_host]))
         text = self._decode_text(out_ids)
         yield {"text": text, "stats": stats.as_dict()}
 
@@ -532,9 +587,9 @@ class Engine:
         ids, lens, starts = inputs["ids"], inputs["lens"], inputs["starts"]
         b, t = ids.shape
         stats = RequestStats(prompt_tokens=int(_sync(lens)[0]))
-        cache = init_cache(
+        cache = self.shard_cache(init_cache(
             cfg.decoder.num_layers, b, t + max_new,
-            cfg.decoder.num_kv_heads, cfg.decoder.head_dim, self._kv_dtype)
+            cfg.decoder.num_kv_heads, cfg.decoder.head_dim, self._kv_dtype))
         t0 = time.perf_counter()
         logits, cache = self._prefill_jit(
             self.params, inputs["images"], ids, lens, starts, cache,
@@ -578,10 +633,10 @@ class Engine:
         ids, lens, starts = inputs["ids"], inputs["lens"], inputs["starts"]
         b, t = ids.shape
         stats = RequestStats(prompt_tokens=int(_sync(lens)[0]))
-        cache = init_cache(
+        cache = self.shard_cache(init_cache(
             cfg.decoder.num_layers, b,
             vlm.spec_cache_len(t, max_new, draft_k),
-            cfg.decoder.num_kv_heads, cfg.decoder.head_dim, self._kv_dtype)
+            cfg.decoder.num_kv_heads, cfg.decoder.head_dim, self._kv_dtype))
         t0 = time.perf_counter()
         logits, cache = self._prefill_jit(
             self.params, inputs["images"], ids, lens, starts, cache,

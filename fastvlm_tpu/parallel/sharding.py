@@ -64,11 +64,29 @@ def vlm_specs(cfg: FastVLMConfig, params: Any) -> Any:
     return specs
 
 
+def fit_spec(x, spec: P, mesh: Mesh) -> P:
+    """Drop mesh axes a leaf's dims can't honor (dim % axis_size != 0):
+    real checkpoints shard fully (Qwen2 dims are all multiples of any sane
+    tp), while tiny test configs silently replicate the offending leaf
+    instead of raising — the GSPMD computation is identical either way."""
+    dims = []
+    for i, ax in enumerate(spec):
+        if ax is None:
+            dims.append(None)
+            continue
+        axes = ax if isinstance(ax, tuple) else (ax,)
+        size = 1
+        for a in axes:
+            size *= mesh.shape[a]
+        dims.append(ax if x.shape[i] % size == 0 else None)
+    return P(*dims)
+
+
 def shard_vlm(params: Any, cfg: FastVLMConfig, mesh: Mesh) -> Any:
     """device_put the param tree with NamedShardings on the mesh."""
     specs = vlm_specs(cfg, params)
     return jax.tree.map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, fit_spec(x, s, mesh))),
         params, specs,
         is_leaf=lambda x: isinstance(x, P),
     )

@@ -66,6 +66,9 @@ def main(argv=None) -> int:
     parser.add_argument("--random-weights", action="store_true",
                         help="smoke mode: tiny random model, byte tokenizer")
     parser.add_argument("--timing", action="store_true")
+    parser.add_argument("--tp", type=int, default=1,
+                        help="tensor-parallel degree (decoder sharded over "
+                             "a (1, tp) mesh; 7B bf16 needs tp >= 2)")
     parser.add_argument("--verify-checkpoint", action="store_true",
                         help="audit --model-path instead of generating: "
                              "key-map completeness (every state-dict key "
@@ -95,13 +98,21 @@ def main(argv=None) -> int:
     # Route through the Engine: Engine.prepare handles pad AND anyres
     # checkpoints (tile stacks + merged token counts); calling vlm.generate
     # directly would mis-splice anyres tile batches (ADVICE r1).
+    mesh = None
+    if args.tp > 1:
+        import jax
+
+        from fastvlm_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(dp=1, tp=args.tp, devices=jax.devices()[:args.tp])
     if args.random_weights:
-        engine = build_engine(random_tiny=True, conv_mode=args.conv_mode)
+        engine = build_engine(random_tiny=True, conv_mode=args.conv_mode,
+                              mesh=mesh)
     else:
         if not args.model_path:
             parser.error("--model-path required (or use --random-weights)")
         engine = build_engine(args.model_path, dtype=args.dtype,
-                              conv_mode=args.conv_mode)
+                              conv_mode=args.conv_mode, mesh=mesh)
     cfg = engine.cfg
 
     prompt = build_prompt(args.prompt, args.conv_mode)

@@ -22,6 +22,43 @@ from aiohttp import web
 
 logger = logging.getLogger("fastvlm_tpu.web")
 
+IMAGE_PROCESS_MODES = ("Crop", "Resize", "Pad", "Default")
+
+
+def process_image_mode(b64: str, mode: str, max_len: int = 1344,
+                       min_len: int = 672) -> str:
+    """Per-message image preprocessing mode (reference
+    gradio_web_server.py:337 radio + conversation.py:146-177 semantics):
+    "Pad" letterboxes to a square on the mean-pixel background,
+    "Resize" forces 336x336, "Crop"/"Default" pass through; every mode then
+    clamps oversized uploads to max_len on the long edge (aspect kept).
+    Input/output are base64-encoded image bytes (the worker wire format)."""
+    import io
+
+    from PIL import Image
+
+    if mode not in IMAGE_PROCESS_MODES:
+        raise ValueError(f"invalid image_process_mode: {mode}")
+    img = Image.open(io.BytesIO(base64.b64decode(b64))).convert("RGB")
+    if mode == "Pad":
+        from fastvlm_tpu.data.preprocessing import expand2square
+
+        img = expand2square(img, (122, 116, 104))
+    elif mode == "Resize":
+        img = img.resize((336, 336))
+    if max(img.size) > max_len:
+        aspect = max(img.size) / min(img.size)
+        short = int(min(max_len / aspect, min_len, min(img.size)))
+        w, h = img.size
+        if h > w:
+            w, h = short, int(short * aspect)
+        else:
+            w, h = int(short * aspect), short
+        img = img.resize((w, h))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode()
+
 PAGE = """<!doctype html>
 <html><head><meta charset="utf-8"><title>FastVLM-TPU</title>
 <style>
@@ -35,7 +72,10 @@ PAGE = """<!doctype html>
 <div>model: <select id="model"></select>
  temperature <input id="temp" type="number" value="0.2" step="0.1" min="0" max="2" style="width:4em">
  max tokens <input id="maxtok" type="number" value="256" style="width:5em"></div>
-<p><input type="file" id="image" accept="image/*"> <img id="preview" class="preview"/></p>
+<p><input type="file" id="image" accept="image/*">
+ mode <select id="imgmode"><option>Default</option><option>Crop</option>
+ <option>Resize</option><option>Pad</option></select>
+ <img id="preview" class="preview"/></p>
 <div id="log"></div>
 <p><textarea id="prompt" placeholder="Ask about the image..."></textarea>
 <button id="send">Send</button>
@@ -66,6 +106,7 @@ document.getElementById('send').onclick = async () => {
   div.textContent = 'ASSISTANT: '; log.appendChild(div);
   const body = {model: document.getElementById('model').value, prompt,
     images: imageB64 ? [imageB64] : [],
+    image_process_mode: document.getElementById('imgmode').value,
     temperature: parseFloat(document.getElementById('temp').value),
     max_new_tokens: parseInt(document.getElementById('maxtok').value)};
   const resp = await fetch('/api/generate', {method:'POST',
@@ -147,10 +188,16 @@ class WebServer:
                 text = DEFAULT_IMAGE_TOKEN + "\n" + text
             conv.append_message(conv.roles[0], text)
             conv.append_message(conv.roles[1], None)
+            mode = data.get("image_process_mode", "Default")
+            try:
+                images = [process_image_mode(b, mode)
+                          for b in (data.get("images") or [])]
+            except ValueError as e:
+                return web.json_response({"error": str(e)}, status=400)
             payload = {
                 "model": data.get("model", ""),
                 "prompt": conv.get_prompt(),
-                "images": data.get("images") or [],
+                "images": images,
                 "temperature": data.get("temperature", 0.2),
                 "max_new_tokens": data.get("max_new_tokens", 256),
                 "stop": conv.sep,

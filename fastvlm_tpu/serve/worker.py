@@ -421,11 +421,25 @@ def main(argv=None):
     parser.add_argument("--dtype", default="bfloat16")
     parser.add_argument("--platform", default=None,
                         help="force jax backend (cpu/axon/tpu)")
+    parser.add_argument("--tp", type=int, default=1,
+                        help="tensor-parallel degree: shard the decoder "
+                             "megatron-style + the KV cache over kv heads "
+                             "across a (1, tp) device mesh — the 7B bf16 "
+                             "serving configuration (15.2 GB does not fit "
+                             "one 16 GB chip)")
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
+    mesh = None
+    if args.tp > 1:
+        import jax
+
+        from fastvlm_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(dp=1, tp=args.tp, devices=jax.devices()[:args.tp])
     engine = build_engine(args.model_path, random_tiny=args.random_weights,
-                          dtype=args.dtype, platform=args.platform)
+                          dtype=args.dtype, platform=args.platform,
+                          mesh=mesh)
     logger.info("engine ready (%s)", args.model_name or args.model_path)
     name = args.model_name or (args.model_path or "fastvlm-tiny").split("/")[-1]
     addr = args.worker_address or f"http://localhost:{args.port}"

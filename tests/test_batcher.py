@@ -682,7 +682,7 @@ def test_prefix_cache_batch_burst_matches_serial(engine_noeos):
     still match serial greedy output exactly."""
     eng = engine_noeos
     sched = BatchScheduler(eng, window_ms=150, paged=True, page_size=16,
-                           pool_tokens=16384)
+                           pool_tokens=16384, prefix_cache=True)
     try:
         base = "the quick brown fox jumps over the lazy dog " * 3
         # first request seeds the registry

@@ -298,6 +298,94 @@ def test_soak_32_concurrent_mixed_requests_paged_pool(persist):
     sched.shutdown()
 
 
+def test_web_image_process_modes(tmp_path):
+    """Per-message image-process modes (reference gradio_web_server.py:337):
+    the web layer transforms the uploaded image per mode BEFORE it reaches
+    /worker_generate_stream — Pad squares it, Resize forces 336x336,
+    Default passes through, bad modes are rejected with 400."""
+    import base64
+    import io
+
+    from aiohttp import web as aioweb
+    from aiohttp.test_utils import TestClient, TestServer
+    from PIL import Image
+
+    from fastvlm_tpu.serve.web import WebServer, process_image_mode
+
+    def b64_of(size):
+        buf = io.BytesIO()
+        Image.new("RGB", size, (200, 10, 10)).save(buf, format="PNG")
+        return base64.b64encode(buf.getvalue()).decode()
+
+    def size_of(b64):
+        return Image.open(io.BytesIO(base64.b64decode(b64))).size
+
+    # unit semantics (conversation.py:146-177)
+    assert size_of(process_image_mode(b64_of((100, 40)), "Pad")) == (100, 100)
+    assert size_of(process_image_mode(b64_of((100, 40)), "Resize")) == (336, 336)
+    assert size_of(process_image_mode(b64_of((100, 40)), "Default")) == (100, 40)
+    w, h = size_of(process_image_mode(b64_of((2000, 500)), "Default"))
+    assert max(w, h) <= 1344 and abs(w / h - 4.0) < 0.1, (w, h)
+    with pytest.raises(ValueError):
+        process_image_mode(b64_of((8, 8)), "Zoom")
+
+    # round-trip: what /worker_generate_stream RECEIVES is the transformed
+    # image (dummy worker records the payload; dummy controller routes)
+    seen = {}
+
+    async def run():
+        worker_routes = aioweb.RouteTableDef()
+
+        @worker_routes.post("/worker_generate_stream")
+        async def gen(request):
+            seen.update(await request.json())
+            resp = aioweb.StreamResponse()
+            await resp.prepare(request)
+            await resp.write(chunk("ok"))
+            return resp
+
+        wapp = aioweb.Application()
+        wapp.add_routes(worker_routes)
+        wsrv = TestServer(wapp)
+        await wsrv.start_server()
+        waddr = f"http://{wsrv.host}:{wsrv.port}"
+
+        ctrl_routes = aioweb.RouteTableDef()
+
+        @ctrl_routes.post("/get_worker_address")
+        async def get_addr(request):
+            return aioweb.json_response({"address": waddr})
+
+        capp = aioweb.Application()
+        capp.add_routes(ctrl_routes)
+        csrv = TestServer(capp)
+        await csrv.start_server()
+
+        ws = WebServer(f"http://{csrv.host}:{csrv.port}",
+                       log_dir=str(tmp_path))
+        client = TestClient(TestServer(ws.build_app()))
+        await client.start_server()
+        try:
+            resp = await client.post("/api/generate", json={
+                "model": "tiny", "prompt": "what is this?",
+                "images": [b64_of((100, 40))],
+                "image_process_mode": "Pad", "max_new_tokens": 4})
+            assert resp.status == 200
+            await resp.read()
+            resp = await client.post("/api/generate", json={
+                "model": "tiny", "prompt": "x", "images": [b64_of((8, 8))],
+                "image_process_mode": "Zoom"})
+            assert resp.status == 400
+        finally:
+            await client.close()
+            await wsrv.close()
+            await csrv.close()
+
+    asyncio.run(run())
+    assert seen.get("images"), "worker never saw the image"
+    assert size_of(seen["images"][0]) == (100, 100)  # padded square
+
+
 def test_web_vote_logging(tmp_path):
     """/api/vote appends upvote/downvote/flag records to the dated conv log
     (reference gradio_web_server.py:82-112); bad types are rejected."""
