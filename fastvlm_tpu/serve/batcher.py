@@ -1302,7 +1302,13 @@ class BatchScheduler:
                         pview = None
                         pview_chunks = 0
                         pview_base = None
-                    if pview is None or pview.max_len < s_bucket + k:
+                    # a cap-width view can hold every position a row can
+                    # ever write (rows never outgrow the pool tables), so
+                    # s_bucket + k is clamped to cap — otherwise the guard
+                    # would regather EVERY chunk once the longest row
+                    # pushes s_bucket to cap
+                    if pview is None or pview.max_len < min(cap,
+                                                            s_bucket + k):
                         cache = flush_view(cache)  # old-bucket view, if any
                         # headroom: one extra bucket step so the view isn't
                         # re-gathered every chunk once rows grow past it
