@@ -40,6 +40,21 @@ def _sync(x):
     return np.asarray(x)  # axon block_until_ready returns early; fetch to sync
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("s", "mode", "native", "scale255",
+                                    "dtype"))
+def _prep_array(a, *, s, mode, native, scale255, dtype):
+    from fastvlm_tpu.ops import image_ops
+
+    if scale255:
+        a = a.astype(jnp.float32) / 255.0
+    if not native:
+        a = image_ops.preprocess(a, s, mode)
+    elif a.dtype == jnp.uint8:
+        a = image_ops.rescale(a)
+    return a.astype(dtype)
+
+
 def _host_cache_key() -> str:
     """Fingerprint of the host microarchitecture. XLA:CPU AOT executables
     embed machine features; loading one compiled on a different host warns
@@ -263,28 +278,13 @@ class Engine:
             arr = arr[None]
         # jit the whole transform: ONE device dispatch per frame instead of
         # an unjitted op chain (each op costs a tunnel round-trip-class
-        # dispatch — this was ~60 ms/frame of the video loop)
-        if not hasattr(self, "_prep_array_jit"):
-            from fastvlm_tpu.ops import image_ops
-
-            s = self.cfg.vision.image_size
-            mode = "pad" if self.cfg.image_aspect_ratio == "pad" else "none"
-            dtype = self._dtype
-
-            @functools.partial(jax.jit, static_argnames=("native", "scale255"))
-            def _prep(a, native, scale255):
-                if scale255:
-                    a = a.astype(jnp.float32) / 255.0
-                if not native:
-                    a = image_ops.preprocess(a, s, mode)
-                elif a.dtype == jnp.uint8:
-                    a = image_ops.rescale(a)
-                return a.astype(dtype)
-
-            self._prep_array_jit = _prep
+        # dispatch — this was ~60 ms/frame of the video loop); module-level
+        # jit so equal-config engines share the compiled program
         s = self.cfg.vision.image_size
-        return self._prep_array_jit(arr, native=arr.shape[-3:-1] == (s, s),
-                                    scale255=scale255)
+        mode = "pad" if self.cfg.image_aspect_ratio == "pad" else "none"
+        return _prep_array(arr, s=s, mode=mode,
+                           native=arr.shape[-3:-1] == (s, s),
+                           scale255=scale255, dtype=self._dtype)
 
     def prepare(self, prompt: str, image=None):
         """prompt: full template string (may contain <image>); image: PIL or
@@ -448,10 +448,16 @@ class Engine:
         b, t = ids.shape
         stats = RequestStats(prompt_tokens=int(_sync(lens)[0]))
 
+        # decode always dispatches FULL self.chunk-wide chunks (the tail is
+        # truncated host-side): one compiled decode program per engine
+        # instead of one per distinct max_new residue — fewer cold-shape
+        # stalls in serving, and the cache is sized so overshoot writes
+        # stay in-bounds
+        n_chunks = -(-max_new // self.chunk)
         cache = self.shard_cache(init_cache(
             cfg.decoder.num_layers, b,
             (vlm.spec_cache_len(t, max_new, draft_k) if spec
-             else t + max_new),
+             else t + n_chunks * self.chunk),
             cfg.decoder.num_kv_heads, cfg.decoder.head_dim, self._kv_dtype))
 
         key = self._put(jax.random.PRNGKey(
@@ -549,12 +555,12 @@ class Engine:
             return
 
         while not done_host and emitted < max_new:
-            k = min(self.chunk, max_new - emitted)
+            take = min(self.chunk, max_new - emitted)
             toks, done, tok, cache, key = vlm.decode_chunk(
                 self.params, cfg, tok, done, cache, key,
-                k=k, eos_ids=self.eos_ids, sampling=sampling)
-            host_toks = _sync(toks)[0]
-            emitted += k
+                k=self.chunk, eos_ids=self.eos_ids, sampling=sampling)
+            host_toks = _sync(toks)[0][:take]
+            emitted += take
             done_host = consume(host_toks)
             done_host = done_host or bool(_sync(done)[0])
             done_host, chunk = emit(done_host)
@@ -700,32 +706,15 @@ class Engine:
 
     @property
     def _prefill_jit(self):
-        if not hasattr(self, "_prefill_cached"):
-            cfg = self.cfg
-
-            @jax.jit
-            def f(params, images, ids, lens, starts, cache):
-                return vlm.prefill(params, cfg, images, ids, lens, starts, cache)
-
-            @jax.jit
-            def f_noimg(params, ids, lens, starts, cache):
-                return vlm.prefill(params, cfg, None, ids, lens, starts, cache)
-
-            @jax.jit
-            def f_embeds(params, vis, ids, lens, starts, cache):
-                return vlm.prefill(params, cfg, None, ids, lens, starts, cache,
-                                   vision_embeds=vis)
-
-            self._prefill_cached = (f, f_noimg, f_embeds)
-
-        f, f_noimg, f_embeds = self._prefill_cached
+        """Module-level jit (vlm._prefill_jit, cfg static): engines with
+        EQUAL configs share one compile cache — per-engine closures used to
+        recompile the full prefill graph for every Engine instance (bench
+        A/Bs, the test suite, worker restarts)."""
+        cfg = self.cfg
 
         def dispatch(params, images, ids, lens, starts, cache, vis=None):
-            if vis is not None:
-                return f_embeds(params, vis, ids, lens, starts, cache)
-            if images is None:
-                return f_noimg(params, ids, lens, starts, cache)
-            return f(params, images, ids, lens, starts, cache)
+            return vlm._prefill_jit(params, cfg, images, ids, lens, starts,
+                                    cache, vision_embeds=vis)
 
         return dispatch
 
@@ -734,29 +723,14 @@ class Engine:
         """Suffix prefill after ``offset`` cached prefix tokens
         (vlm.prefill_continue) — the serving prefix-cache admission path.
         ``offset`` is a TRACED scalar so every cached length shares one
-        compiled specialization per (suffix bucket, table width)."""
-        if not hasattr(self, "_prefill_suffix_cached"):
-            cfg = self.cfg
-
-            @jax.jit
-            def f(params, images, ids, lens, starts, offset, cache):
-                return vlm.prefill_continue(params, cfg, images, ids, lens,
-                                            starts, offset, cache)
-
-            @jax.jit
-            def f_noimg(params, ids, lens, starts, offset, cache):
-                return vlm.prefill_continue(params, cfg, None, ids, lens,
-                                            starts, offset, cache)
-
-            self._prefill_suffix_cached = (f, f_noimg)
-
-        f, f_noimg = self._prefill_suffix_cached
+        compiled specialization per (suffix bucket, table width); the jit
+        itself is module-level (cfg static, shared across engines)."""
+        cfg = self.cfg
 
         def dispatch(params, images, ids, lens, starts, offset, cache):
             offset = jnp.asarray(offset, jnp.int32)
-            if images is None:
-                return f_noimg(params, ids, lens, starts, offset, cache)
-            return f(params, images, ids, lens, starts, offset, cache)
+            return vlm._prefill_continue_jit(params, cfg, images, ids, lens,
+                                             starts, offset, cache)
 
         return dispatch
 

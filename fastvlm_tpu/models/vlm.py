@@ -549,6 +549,9 @@ class GenerateResult(NamedTuple):
 
 
 _prefill_jit = jax.jit(prefill, static_argnames=("cfg",))
+# shared across Engine instances (cfg is static): equal-config engines hit
+# one compile cache instead of recompiling per-engine closures
+_prefill_continue_jit = jax.jit(prefill_continue, static_argnames=("cfg",))
 
 
 def spec_cache_len(prompt_bucket: int, max_new_tokens: int,

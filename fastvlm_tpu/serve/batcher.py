@@ -364,7 +364,7 @@ class BatchScheduler:
         page = self.page_size
         sampling = sampling or SamplingParams()
         pad_to = -(-max(prompt_len, 1) // 64) * 64  # prompt bucket
-        k = min(engine.chunk, max_new_tokens)
+        k = engine.chunk
         spec_on = (self.spec and getattr(sampling, "temperature", 1.0) == 0.0)
         spec_k = self.spec_draft_k
         spec_m = max(1, -(-engine.chunk // (spec_k + 1)))
@@ -605,7 +605,7 @@ class BatchScheduler:
         return cache, row_pages, tables
 
     def _grow_pages(self, cache, tables, row_pages, cur_len, finished, slots,
-                    k, reasons=None, force=False):
+                    k, reasons=None, force=False, budget=None):
         """Chunk-boundary page accounting: free straggler pages of finished
         rows, map pages covering the next k tokens of each active row
         (``cur_len[i]`` = row i's current device length). Exhaustion
@@ -628,9 +628,15 @@ class BatchScheduler:
                     tables[i, :] = -1  # device writes for this row now drop
                     changed = True
                 continue
-            # device lengths advance k per chunk for every row
+            # device lengths advance k per chunk for every row; budget[i]
+            # (prompt + cap + spec slack) bounds the pages a row can ever
+            # NEED — full-width chunks overshoot small caps, and those
+            # writes drop unmapped (tokens past the cap are discarded, and
+            # no kept token attends past the budget)
             target = min(cur_len[i] + k, pps * page)
-            need = -(-target // page)
+            if budget is not None:
+                target = min(target, budget[i])
+            need = -(-max(target, 1) // page)
             delta = need - len(row_pages[i])
             if delta <= 0:
                 continue
@@ -763,6 +769,10 @@ class BatchScheduler:
         # exhaustion — distinguishes a cut answer from a complete one)
         reasons: List[Optional[str]] = [None] * b
         caps = [slots[i].max_new_tokens if slots[i] else 0 for i in range(b)]
+        # per-row page budget: prompt + cap (+ spec slack) tokens is all a
+        # row's kept tokens can ever attend to — growth never maps past it
+        budget_tok = [cur_len[i] + caps[i] + spec_slack if slots[i] else 0
+                      for i in range(b)]
         emitted = [0] * b
         ttfts = [0.0] * b
         queue_ms = [0.0] * b
@@ -854,7 +864,7 @@ class BatchScheduler:
             front; ht/hd are HOST copies of (tok, done)."""
             nonlocal b, tables, tables_dirty, slots, texts, finished, \
                 reasons, caps, emitted, ttfts, queue_ms, cur_len, row_pages, \
-                spec_live, prompt_ids
+                spec_live, prompt_ids, budget_tok
             # the persistent view is row-indexed against the CURRENT tables:
             # sync it back while row identity still matches (compaction below
             # would scatter its pending columns into the wrong rows) and drop
@@ -891,6 +901,7 @@ class BatchScheduler:
             finished = moved(finished, lambda: True)
             reasons = moved(reasons, lambda: None)
             caps = moved(caps, lambda: 0)
+            budget_tok = moved(budget_tok, lambda: 0)
             emitted = moved(emitted, lambda: 0)
             ttfts = moved(ttfts, lambda: 0.0)
             queue_ms = moved(queue_ms, lambda: 0.0)
@@ -1073,6 +1084,7 @@ class BatchScheduler:
                 finished[i] = False
                 reasons[i] = None
                 caps[i] = r.max_new_tokens
+                budget_tok[i] = plen + r.max_new_tokens + spec_slack
                 emitted[i] = 0
                 cur_len[i] = plen
                 prompt_ids[i] = ids_row
@@ -1191,7 +1203,11 @@ class BatchScheduler:
                 [finished[i] or slots[i] is None for i in range(b)])
             num = hist = hist_len = None
             admitting = tables is not None and self.continuous
-            k = min(engine.chunk, max_new)
+            # full-width chunks always: one compiled decode program per
+            # (batch, view-bucket) instead of one per distinct max_new < 16
+            # (caps end rows host-side; page sizing already covers the
+            # chunk overshoot via _grow_pages' cur_len + k target)
+            k = engine.chunk
             flush_view.k = k
             # adaptive speculation state: spec_live tracks whether the CURRENT
             # chunk uses verify passes; histories are rebuilt from host state
@@ -1245,7 +1261,8 @@ class BatchScheduler:
                     cache = self._grow_pages(cache, tables, row_pages,
                                              cur_len, finished, slots,
                                              spec_width if spec_live else k,
-                                             reasons, force=tables_dirty)
+                                             reasons, force=tables_dirty,
+                                             budget=budget_tok)
                     tables_dirty = False
                     # pool exhaustion may have truncated rows: close them now
                     for i in range(b):

@@ -641,7 +641,8 @@ def test_prefix_cache_admission_matches_serial(engine_noeos, persist):
     byte-identical greedy output."""
     eng = engine_noeos
     sched = BatchScheduler(eng, window_ms=20, paged=True, page_size=16,
-                           pool_tokens=16384, persist_view=persist)
+                           pool_tokens=16384, persist_view=persist,
+                           prefix_cache=True)
     try:
         # long shared prefix, different tails (build_prompt adds the same
         # chat template around both)

@@ -46,10 +46,11 @@ def test_lora_training_updates_only_adapters():
         onehot = jax.nn.one_hot(tgt, CFG.vocab_size)
         return -jnp.mean(jnp.sum(jax.nn.log_softmax(logits) * onehot, -1))
 
+    gfn = jax.jit(jax.grad(loss))  # eager grad re-traces per step (slow)
     l0 = float(loss(lparams))
     p = lparams
     for _ in range(5):
-        g = jax.grad(loss)(p)
+        g = gfn(p)
         updates, opt_state = tx.update(g, opt_state, p)
         p = optax.apply_updates(p, updates)
     assert float(loss(p)) < l0
@@ -118,8 +119,8 @@ def test_qlora_grads_match_float_base_lora_grads():
         onehot = jax.nn.one_hot(tgt, CFG.vocab_size)
         return -jnp.mean(jnp.sum(jax.nn.log_softmax(logits) * onehot, -1))
 
-    gq = jax.grad(loss, allow_int=True)(qp)
-    gf = jax.grad(loss)(fp)
+    gq = jax.jit(jax.grad(loss, allow_int=True))(qp)
+    gf = jax.jit(jax.grad(loss))(fp)
     for name in ("q", "o", "down"):
         a_q = np.asarray(gq["layers"][name]["lora_a"], np.float32)
         a_f = np.asarray(gf["layers"][name]["lora_a"], np.float32)
@@ -149,10 +150,11 @@ def test_qlora_train_step_updates_adapters_only():
 
         from fastvlm_tpu.train.step import _value_and_grad
 
+        gfn = jax.jit(_value_and_grad(loss))
         l0 = float(loss(qp))
         p = qp
         for _ in range(5):
-            _, g = _value_and_grad(loss)(p)
+            _, g = gfn(p)
             updates, opt_state = tx.update(g, opt_state, p)
             p = optax.apply_updates(p, updates)
         assert float(loss(p)) < l0, f"bits={bits}"

@@ -92,6 +92,7 @@ def test_paged_forward_matches_dense_xla():
         np.testing.assert_allclose(p, d, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_paged_forward_matches_dense_pallas():
     cfg = dataclasses.replace(TINY, attn_backend="pallas")
     dense_logits, paged_logits = _run_pair(cfg)

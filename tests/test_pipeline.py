@@ -6,6 +6,7 @@ collective layout)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from fastvlm_tpu.config import Qwen2Config
 from fastvlm_tpu.models import qwen2
@@ -154,6 +155,7 @@ def test_pipelined_train_step_matches_plain():
                                    atol=2e-5, err_msg=str(k))
 
 
+@pytest.mark.slow
 def test_train_sft_cli_pp_and_sp(tmp_path):
     """The train CLI runs a few steps with --pp-micro (pipelined decoder)
     and with --sp (sequence-parallel) on the virtual mesh."""
