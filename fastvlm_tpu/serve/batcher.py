@@ -235,7 +235,7 @@ class BatchScheduler:
                  spec_ngram_n: int = 3, spec_max_rows: int = 1,
                  spec_min_accept: float = 0.1,
                  prefix_cache: Optional[bool] = None,
-                 persist_view: bool = True):
+                 persist_view: bool = True, pipeline_depth: int = 2):
         self.engine = engine
         self.max_batch = max_batch
         # speculative greedy serving: prompt-lookup verify passes replace
@@ -284,6 +284,16 @@ class BatchScheduler:
         # docs/PERF.md); worst case (admission every chunk) matches the
         # chunk-view's cost. Requires chunk_view.
         self.persist_view = persist_view and chunk_view
+        # steady-state dispatch pipelining: when NOTHING is waiting at a
+        # chunk boundary (empty queue, no deferred, no spec), the persist
+        # branch dispatches up to ``pipeline_depth`` chunks back-to-back and
+        # fetches once — the first chunk's host fetch overlaps the second
+        # chunk's device time, amortizing the ~25-50 ms tunnel dispatch RTT
+        # (the same trick as video.py's dispatch/finish split). Admission
+        # latency is untouched whenever anyone is actually waiting: depth
+        # collapses to 1 the moment the queue or the deferred list is
+        # non-empty at the boundary.
+        self.pipeline_depth = max(1, pipeline_depth) if persist_view else 1
         self.queue: "queue.Queue[_Request]" = queue.Queue()
         self._stop = False
         # paged KV serving: one shared device page pool; rows map pages as
@@ -1257,10 +1267,28 @@ class BatchScheduler:
                     spec_live = False
                 if self.trace is not None:
                     self.trace.append((time.perf_counter(), "post_specdec"))
+                # steady-state pipelining depth: dispatch D chunks back to
+                # back and fetch once (first fetch overlaps later chunks'
+                # device time — amortizes the tunnel dispatch RTT). Collapse
+                # to 1 the moment anything needs boundary granularity: a
+                # waiting request (queue/deferred), speculation, a non-
+                # persist path, or any live row within one chunk of its cap
+                # (the extra chunk would be pure waste).
+                depth = 1
+                if (self.pipeline_depth > 1 and not spec_live
+                        and tables is not None and self.persist_view
+                        and self.queue.empty() and not self._deferred):
+                    live_rem = [caps[i] - emitted[i] for i in range(b)
+                                if slots[i] is not None]
+                    if live_rem and min(live_rem) > k:
+                        depth = self.pipeline_depth
+                        self.counters["pipelined_groups"] += 1
+                disp_k = k * depth
                 if tables is not None:
                     cache = self._grow_pages(cache, tables, row_pages,
                                              cur_len, finished, slots,
-                                             spec_width if spec_live else k,
+                                             spec_width if spec_live
+                                             else disp_k,
                                              reasons, force=tables_dirty,
                                              budget=budget_tok)
                     tables_dirty = False
@@ -1306,7 +1334,7 @@ class BatchScheduler:
                               if slots[i] is not None]
                     cap = tables.shape[1] * self.page_size
                     s_bucket = min(cap, _round_bucket(
-                        max(active) + k, self.page_size))
+                        max(active) + disp_k, self.page_size))
                     if pview is not None and int(pview.lengths.shape[0]) != b:
                         # backstop: a view whose batch no longer matches can
                         # NOT be synced (its rows map pre-resize identities);
@@ -1338,10 +1366,15 @@ class BatchScheduler:
                         pview_chunks = 0
                         self.counters["view_gathers"] += 1
                     shape_key = ("persist", b, pview.max_len, k)
-                    toks, done, tok, pview, key = vlm.decode_chunk(
-                        engine.params, cfg, tok, done, pview, key, k=k,
-                        eos_ids=engine.eos_ids, sampling=sampling)
-                    pview_chunks += 1
+                    group = []
+                    for _ in range(depth):
+                        toks, done, tok, pview, key = vlm.decode_chunk(
+                            engine.params, cfg, tok, done, pview, key, k=k,
+                            eos_ids=engine.eos_ids, sampling=sampling)
+                        group.append(toks)
+                        pview_chunks += 1
+                    if depth > 1:
+                        toks = jnp.concatenate(group, axis=1)
                 elif tables is not None and self.chunk_view:
                     # bucket the chunk's dense view to the longest active row
                     # + k (device lengths advance k per chunk per row)
@@ -1364,7 +1397,8 @@ class BatchScheduler:
                 host_done = np.asarray(done)
                 self._note_rate(shape_key, act_n,
                                 int(counts_host.sum())
-                                if counts_host is not None else k * act_n,
+                                if counts_host is not None
+                                else disp_k * act_n,
                                 time.perf_counter() - t_disp)
                 for i in range(b):
                     if slots[i] is None:
@@ -1387,7 +1421,7 @@ class BatchScheduler:
                     if host_done[i] and not finished[i]:
                         finished[i] = True
                         reasons[i] = reasons[i] or "stop"
-                    cur_len[i] += (k if counts_host is None
+                    cur_len[i] += (disp_k if counts_host is None
                                    else int(counts_host[i]))
                     emit(i)
                 if counts_host is not None:

@@ -782,3 +782,57 @@ def test_paged_pool_recovers_after_batch_failure(engine, persist):
         assert pool_clean(sched)
     finally:
         sched.shutdown()
+
+
+def test_pipelined_steady_groups_match_serial(engine_noeos):
+    """Steady-state dispatch pipelining (pipeline_depth=2 default): with an
+    empty queue the persist branch dispatches 2 chunks per fetch — output
+    must stay byte-identical to serial, and the groups must actually engage
+    (counter) for a long generation."""
+    eng = engine_noeos
+    sched = BatchScheduler(eng, window_ms=10, paged=True, page_size=16,
+                           pool_tokens=16384)
+    try:
+        want, _ = eng.chat("a very long story", max_new_tokens=96)
+        out = list(sched.submit(eng.build_prompt("a very long story"),
+                                max_new_tokens=96))
+        assert "error" not in out[-1], out[-1]
+        assert out[-1]["text"] == want
+        assert sched.counters["pipelined_groups"] >= 2, dict(sched.counters)
+        assert pool_clean(sched)
+    finally:
+        sched.shutdown()
+
+
+def test_pipelined_depth_collapses_when_request_waits(engine_noeos):
+    """A request arriving mid-generation must still admit at boundary
+    granularity: the moment the queue is non-empty, depth collapses to 1 and
+    continuous admission proceeds (output parity + admitted counter)."""
+    eng = engine_noeos
+    sched = BatchScheduler(eng, window_ms=10, paged=True, page_size=16,
+                           pool_tokens=16384)
+    try:
+        want_late = eng.chat("quick", max_new_tokens=4)[0]
+        started = threading.Event()
+        results = {}
+
+        def run(name, prompt, cap):
+            last = None
+            for last in sched.submit(eng.build_prompt(prompt),
+                                     max_new_tokens=cap):
+                started.set()
+            assert "error" not in last, last
+            results[name] = last["text"]
+
+        tl = threading.Thread(target=run, args=("long", "the saga", 192))
+        tl.start()
+        assert started.wait(timeout=120)
+        late = threading.Thread(target=run, args=("late", "quick", 4))
+        late.start()
+        late.join(timeout=180)
+        tl.join(timeout=180)
+        assert results["late"] == want_late, (results["late"], want_late)
+        assert sched.counters["admitted"] >= 1, dict(sched.counters)
+        assert pool_clean(sched)
+    finally:
+        sched.shutdown()
