@@ -17,6 +17,11 @@ decode loop and demultiplexes streams per request:
     straight into the shared page pool through a 1-row cache view, so a
     request arriving mid-batch waits at most one chunk (~k tokens), not a
     whole generation (the window batcher's p95 TTFT failure mode);
+  * **chunked admission prefill** (``prefill_chunk``): a cold long-prompt
+    admission prefills in fixed-width chunks interleaved with the live
+    batch's decode chunks — in-flight rows keep streaming instead of
+    stalling for the whole prompt prefill (Sarathi/vLLM chunked prefill,
+    built on vlm.prefill_continue's dynamic offset);
   * grouping keys include sampling params (they are static under jit).
 
 Static-shape discipline: batch sizes are bucketed to {1, 2, 4, 8}, prompt
@@ -75,6 +80,28 @@ def _round_bucket(n: int, page: int, step: int = 512) -> int:
     steps keep the specialization count to a handful)."""
     b = -(-n // step) * step
     return -(-b // page) * page
+
+
+def _prefill_chunk_bounds(lo: int, hi: int, w: int,
+                          img_s: int, img_e: int) -> List[int]:
+    """Chunk boundaries [lo, ..., hi] for chunked admission prefill: every
+    ``w`` tokens, but never strictly inside the image-token span
+    [img_s, img_e) — the vision embeds overlay a contiguous block
+    (ops/splice.overlay_image_embeds), so the chunk containing the image
+    start must cover the whole span (that chunk widens to the span end;
+    img_s < 0 means text-only)."""
+    bounds = [lo]
+    p = lo
+    while p < hi:
+        n = min(p + w, hi)
+        if 0 <= img_s < img_e and img_s < n < img_e:
+            # n would split the span: stop before it (p < img_s), or widen
+            # the chunk to the span end (p == img_s; p can't be inside the
+            # span — every earlier boundary lands at or before img_s)
+            n = img_s if p < img_s else min(img_e, hi)
+        bounds.append(n)
+        p = n
+    return bounds
 
 
 class PagePool:
@@ -235,7 +262,8 @@ class BatchScheduler:
                  spec_ngram_n: int = 3, spec_max_rows: int = 1,
                  spec_min_accept: float = 0.1,
                  prefix_cache: Optional[bool] = None,
-                 persist_view: bool = True, pipeline_depth: int = 2):
+                 persist_view: bool = True, pipeline_depth: int = 2,
+                 prefill_chunk: Optional[int] = None, max_pending: int = 2):
         self.engine = engine
         self.max_batch = max_batch
         # speculative greedy serving: prompt-lookup verify passes replace
@@ -323,6 +351,25 @@ class BatchScheduler:
             prefix_cache = _decoder_param_count(engine.cfg.decoder) >= 1e9
         self.prefix = (PrefixCache(self.pool, page_size)
                        if paged and prefix_cache else None)
+        # chunked admission prefill (the Sarathi/vLLM chunked-prefill idea,
+        # TPU-shaped): a cold long-prompt admission prefills in fixed-width
+        # chunks interleaved with the live batch's decode chunks, so
+        # in-flight rows keep getting decode service instead of stalling for
+        # the full prompt (the reference worker serializes whole requests
+        # behind a semaphore, model_worker.py:231-244 — the stall is its
+        # baseline behavior). Each chunk is one vlm.prefill_continue
+        # dispatch at a DYNAMIC offset over the row's 1-row pool view, so
+        # every chunk of every admission shares one compiled specialization
+        # per (width-bucket, table-width). Scale-aware default like
+        # prefix_cache: the decode-service gap only matters when prefill is
+        # expensive (7B-class); small models pay extra dispatch RTT for
+        # nothing. 0 / False disables; max_pending bounds rows mid-prefill
+        # (their pages are held but produce no tokens yet).
+        if prefill_chunk is None:
+            prefill_chunk = (256 if _decoder_param_count(engine.cfg.decoder)
+                             >= 1e9 else 0)
+        self.prefill_chunk = int(prefill_chunk or 0)
+        self.max_pending = max(1, max_pending)
         self._pool_kv = None  # lazy (k_pages, v_pages) device arrays
         # observability: continuous-batching events (admitted / grown /
         # shrunk / truncated) — serving metrics and test hooks
@@ -443,6 +490,31 @@ class BatchScheduler:
                                      carry.cache.v_pages)
                     self._warm_shapes.add(("spec", nb, s, spec_m))
                     n += 1
+        if self.prefill_chunk:
+            # chunked-admission prefill programs: prefill_continue over a
+            # 1-row pool view at every width bucket a chunk can take
+            # (full chunks pad to the chunk bucket, residues to smaller
+            # multiples of engine.bucket; the offset is traced so every
+            # boundary shares these). Text chunks only — an image-bearing
+            # chunk compiles the encoder-in-prefill program on first use,
+            # exactly like a single-shot image admission (the reference
+            # worker's first-generate compile, model_worker.py:75-106).
+            wmax = -(-self.prefill_chunk // engine.bucket) * engine.bucket
+            for wb in range(engine.bucket, wmax + 1, engine.bucket):
+                key_w = ("pchunk", wb, pps, False)
+                if key_w in self._warm_shapes:
+                    continue
+                view = PagedKVCache(
+                    k_pages=self._pool_kv[0], v_pages=self._pool_kv[1],
+                    block_tables=jnp.full((1, pps), -1, jnp.int32),
+                    lengths=jnp.zeros((1,), jnp.int32))
+                _, view = engine._prefill_suffix_jit(
+                    engine.params, None, jnp.zeros((1, wb), jnp.int32),
+                    jnp.asarray([wb], jnp.int32),
+                    jnp.asarray([-1], jnp.int32), 0, view)
+                self._pool_kv = (view.k_pages, view.v_pages)
+                self._warm_shapes.add(key_w)
+                n += 1
         np.asarray(self._pool_kv[0].ravel()[0])  # host fetch = real sync
         return n
 
@@ -796,6 +868,13 @@ class BatchScheduler:
         pview = None
         pview_chunks = 0
         pview_base = None
+        # chunked admission prefill: slot index -> mid-prefill state. A
+        # pending row occupies its slot (keeps the loop alive, blocks
+        # re-admission) and holds its pages in row_pages[i], but its HOST
+        # table row stays -1 — the device never sees its pages until
+        # activation, so decode writes for the row (done=True) drop into
+        # the sink and view syncs can't touch its prefilled KV.
+        pending: Dict[int, dict] = {}
 
         def flush_view(cache):
             """Sync the pool from the persistent view and drop the view.
@@ -919,6 +998,11 @@ class BatchScheduler:
             row_pages = moved(row_pages, list)
             prompt_ids = moved(prompt_ids,
                                lambda: np.zeros((0,), np.int32))
+            # mid-prefill rows move with their slots (ascending order is
+            # collision-free: compaction only maps indices downward)
+            remap = {i: j for j, i in enumerate(mapping)}
+            for old_i in sorted(pending):
+                pending[remap[old_i]] = pending.pop(old_i)
             b = new_b
             tables = new_tables
             tables_dirty = False  # _replace below pushes them
@@ -1033,6 +1117,50 @@ class BatchScheduler:
                     break
                 row_pgs = shared + got
                 i = slots.index(None)
+                sfx_len = plen - cached_len
+                if (self.prefill_chunk and prep["vision_embeds"] is None
+                        and sfx_len > self.prefill_chunk
+                        and len(pending) < self.max_pending
+                        and n_active() > len(pending)):
+                    # chunked admission: reserve the slot and pages, prefill
+                    # one chunk per boundary (advance_pending) so the live
+                    # rows keep decoding. Host/device tables stay -1 for the
+                    # row until activation. Only worth it when someone else
+                    # is actually live (otherwise single-shot is one
+                    # dispatch) and the prompt is longer than one chunk.
+                    row_pages[i] = row_pgs
+                    tbl = np.full((1, pps), -1, np.int32)
+                    tbl[0, :need] = row_pgs
+                    pending[i] = {
+                        "r": r, "ids": ids_row, "plen": plen,
+                        "start": start0, "images": prep["images"],
+                        "cached": cached_len,
+                        "bounds": _prefill_chunk_bounds(
+                            cached_len, plen, self.prefill_chunk, start0,
+                            start0 + cfg.num_image_tokens
+                            if start0 >= 0 else -1),
+                        "bi": 0, "table": jnp.asarray(tbl),
+                        "t0": time.perf_counter(),
+                        "wait_ms": (time.perf_counter() - r.t_submit) * 1000,
+                    }
+                    if cached_len:
+                        self.counters["prefix_hits"] += 1
+                        self.counters["prefix_hit_tokens"] += cached_len
+                    slots[i] = r
+                    batch.append(r)
+                    texts[i] = []
+                    finished[i] = False
+                    reasons[i] = None
+                    caps[i] = r.max_new_tokens
+                    budget_tok[i] = plen + r.max_new_tokens + spec_slack
+                    emitted[i] = 0
+                    cur_len[i] = 0
+                    prompt_ids[i] = ids_row
+                    self.counters["chunked_admissions"] += 1
+                    if self.trace is not None:
+                        self.trace.append((time.perf_counter(), "padmit",
+                                           i, plen))
+                    continue
                 tables[i, :] = -1
                 tables[i, :need] = row_pgs
                 row_pages[i] = row_pgs
@@ -1116,6 +1244,113 @@ class BatchScheduler:
                 # draft corpus isn't in hist): drop it; the next decision
                 # rebuilds from host state if speculation is still wanted
                 spec_live = False
+            if ht is not None:
+                tok = jnp.asarray(ht)
+                done = jnp.asarray(hd)
+            return cache, tok, done, key
+
+        def advance_pending(cache, tok, done, key):
+            """One prefill chunk per mid-prefill row (chunked admission):
+            vlm.prefill_continue at a dynamic offset over the row's 1-row
+            pool view. The view is rebuilt from the CURRENT pool arrays at
+            every chunk — prefill doesn't donate, so each chunk returns new
+            pool arrays and the batch cache must rebind immediately or
+            later view syncs would write into a dead lineage. On the final
+            chunk the row activates exactly like a single-shot admission:
+            sample tok0 from the chunk's last-position logits, sync+drop
+            the persistent view, push tables/lengths."""
+            from fastvlm_tpu.ops.kv_cache import PagedKVCache
+
+            nonlocal tables_dirty, spec_live
+            ht = hd = None
+            for i in sorted(pending):
+                st = pending[i]
+                c0 = st["bounds"][st["bi"]]
+                c1 = st["bounds"][st["bi"] + 1]
+                w = c1 - c0
+                wb = -(-w // engine.bucket) * engine.bucket
+                sids = np.zeros((1, wb), np.int32)
+                sids[0, :w] = st["ids"][c0:c1]
+                # the prompt template always carries an image span (starts
+                # >= 0 even text-only, engine.build_prompt); only pass the
+                # pixels when they exist AND this chunk covers the span —
+                # the compiled program is keyed by images None/array, not
+                # by the traced start offset
+                has_img = (st["images"] is not None
+                           and c0 <= st["start"] < c1)
+                sstarts = np.asarray(
+                    [st["start"] - c0 if has_img else -1], np.int32)
+                view = PagedKVCache(
+                    k_pages=cache.k_pages, v_pages=cache.v_pages,
+                    block_tables=st["table"],
+                    lengths=jnp.asarray([c0], jnp.int32))
+                t_ck = time.perf_counter()
+                try:
+                    logits, view = engine._prefill_suffix_jit(
+                        engine.params,
+                        st["images"] if has_img else None,
+                        jnp.asarray(sids), jnp.asarray([w], np.int32),
+                        jnp.asarray(sstarts), c0, view)
+                except Exception as e:
+                    # prefill doesn't donate: pool arrays intact — fail this
+                    # request alone (same contract as single-shot admission)
+                    logger.exception("pending prefill chunk failed")
+                    self.pool.release(row_pages[i])
+                    row_pages[i] = []
+                    pending.pop(i)
+                    slots[i] = None
+                    finished[i] = True
+                    st["r"].out.put({"error": str(e)})
+                    st["r"].out.put(_SENTINEL)
+                    continue
+                # rebind the pool: every later reader (decode gather, view
+                # sync, the next pending chunk) must see this chunk's writes
+                cache = cache._replace(k_pages=view.k_pages,
+                                       v_pages=view.v_pages)
+                st["bi"] += 1
+                self._warm_shapes.add(
+                    ("pchunk", wb, st["table"].shape[1], bool(has_img)))
+                self.counters["prefill_chunks"] += 1
+                if self.trace is not None:
+                    self.trace.append((
+                        time.perf_counter(), "pchunk", i, c0, c1,
+                        round((time.perf_counter() - t_ck) * 1000, 1)))
+                if c1 < st["plen"]:
+                    continue
+                # final chunk: activate the row
+                key, sub = jax.random.split(key)
+                t_new = int(np.asarray(sample(sub, logits, sampling))[0])
+                if ht is None:
+                    ht = np.asarray(tok).copy()
+                    hd = np.asarray(done).copy()
+                # sync the live rows' generated KV while row i's table is
+                # still -1 (its view garbage drops), THEN expose its pages
+                cache = flush_view(cache)
+                lengths = np.asarray(cache.lengths).copy()
+                lengths[i] = st["plen"]
+                need = -(-st["plen"] // self.page_size)
+                tables[i, :] = -1
+                tables[i, :need] = row_pages[i]
+                cache = cache._replace(block_tables=jnp.asarray(tables),
+                                       lengths=jnp.asarray(lengths))
+                tables_dirty = False  # _replace above pushed them
+                cur_len[i] = st["plen"]
+                if self.prefix is not None:
+                    # same bound as single-shot admission: text KV before
+                    # the first image slot is id-addressable and reusable
+                    pub = st["start"] if st["start"] >= 0 else st["plen"]
+                    self.prefix.publish(st["ids"][:pub], row_pages[i])
+                ttfts[i] = (time.perf_counter() - st["t0"]) * 1000
+                queue_ms[i] = st["wait_ms"]
+                first_token(i, t_new)
+                self.counters["admitted"] += 1
+                if self.trace is not None:
+                    self.trace.append((time.perf_counter(), "activate", i,
+                                       st["plen"], round(ttfts[i], 1)))
+                ht[i] = t_new
+                hd[i] = finished[i] or slots[i] is None
+                spec_live = False
+                pending.pop(i)
             if ht is not None:
                 tok = jnp.asarray(ht)
                 done = jnp.asarray(hd)
@@ -1250,13 +1485,18 @@ class BatchScheduler:
                                        n_active(), b, spec_live))
                 if admitting:
                     cache, tok, done, key = try_admit(cache, tok, done, key)
+                if pending:
+                    cache, tok, done, key = advance_pending(cache, tok, done,
+                                                            key)
                 if self.trace is not None:
                     self.trace.append((time.perf_counter(), "post_admit"))
                 # decide speculation AFTER admission: the pre-admission row
                 # count lies — 1 live row can become a full batch in the same
                 # iteration, and a spec dispatch at b=8 loses ~2x to plain
                 # chunks (measured: spec@8 639 tok/s vs plain@8 1200)
-                want_spec = (spec_on and not spec_banned
+                # (spec state is also row-indexed: stay plain while any row
+                # is mid-prefill — its history isn't decodable yet)
+                want_spec = (spec_on and not spec_banned and not pending
                              and 0 < n_active() <= self.spec_max_rows
                              and b <= _round_batch(self.spec_max_rows)
                              and self._spec_preferred(n_active()))
@@ -1275,7 +1515,7 @@ class BatchScheduler:
                 # persist path, or any live row within one chunk of its cap
                 # (the extra chunk would be pure waste).
                 depth = 1
-                if (self.pipeline_depth > 1 and not spec_live
+                if (self.pipeline_depth > 1 and not spec_live and not pending
                         and tables is not None and self.persist_view
                         and self.queue.empty() and not self._deferred):
                     live_rem = [caps[i] - emitted[i] for i in range(b)
@@ -1298,8 +1538,12 @@ class BatchScheduler:
                             emit(i)
                 if n_active() == 0:
                     break
+                if pending and n_active() == len(pending):
+                    # nothing decodable yet — spend the boundary advancing
+                    # the prefills instead of dispatching an all-done chunk
+                    continue
                 counts_host = None
-                act_n = n_active()
+                act_n = n_active() - len(pending)  # decodable rows
                 if self.trace is not None:
                     self.trace.append((time.perf_counter(), "pre_disp"))
                 t_disp = time.perf_counter()
@@ -1401,7 +1645,9 @@ class BatchScheduler:
                                 else disp_k * act_n,
                                 time.perf_counter() - t_disp)
                 for i in range(b):
-                    if slots[i] is None:
+                    if slots[i] is None or i in pending:
+                        # pending rows are done=True on device: their chunk
+                        # slots are pad zeros, not text
                         continue
                     row_toks = (host[i] if counts_host is None
                                 else host[i][:int(counts_host[i])])

@@ -51,6 +51,7 @@ class ModelWorker:
         spec_draft_k: int = 8,
         warmup_tokens: int = 0,
         persist_view: bool = True,
+        prefill_chunk: Optional[int] = None,
     ):
         self.engine = engine
         self.model_name = model_name
@@ -88,7 +89,8 @@ class ModelWorker:
                                             pool_tokens=pool_tokens,
                                             spec=spec_decode,
                                             spec_draft_k=spec_draft_k,
-                                            persist_view=persist_view)
+                                            persist_view=persist_view,
+                                            prefill_chunk=prefill_chunk)
             if warmup_tokens > 0:
                 # startup warmup: precompile the decode-dispatch shape grid
                 # so no live request ever pays a mid-flight XLA compile
@@ -418,6 +420,12 @@ def main(argv=None):
                         help="precompile decode-dispatch shapes at startup "
                              "for prompts up to this many tokens (0 = off); "
                              "continuous batching only")
+    parser.add_argument("--prefill-chunk", type=int, default=None,
+                        help="chunked admission prefill width in tokens: "
+                             "cold long-prompt admissions prefill in chunks "
+                             "interleaved with the live batch's decode so "
+                             "in-flight requests keep streaming (0 = off; "
+                             "default: 256 for >=1.5B decoders, off below)")
     parser.add_argument("--dtype", default="bfloat16")
     parser.add_argument("--platform", default=None,
                         help="force jax backend (cpu/axon/tpu)")
@@ -451,7 +459,8 @@ def main(argv=None):
                          pool_tokens=args.kv_pool_tokens,
                          spec_decode=args.spec_decode,
                          spec_draft_k=args.spec_draft_k,
-                         warmup_tokens=args.warmup_tokens)
+                         warmup_tokens=args.warmup_tokens,
+                         prefill_chunk=args.prefill_chunk)
     web.run_app(build_app(worker), host=args.host, port=args.port)
 
 
