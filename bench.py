@@ -455,7 +455,11 @@ def bench_serving(cfg, params, n_req: int = 12, arrival_s: float = 0.25,
         # prefill/admission shapes
         plen = max(int(np.asarray(eng.prepare(eng.build_prompt(p))["lens"])[0])
                    for p in prompts)
-        sched.warmup(prompt_len=plen, max_new_tokens=max_new)
+        # admission_prefill=False: the workload warm pass below compiles
+        # the admission shapes this run actually uses — the full per-bucket
+        # grid would blow the driver's bench budget (VERDICT r3 #2)
+        sched.warmup(prompt_len=plen, max_new_tokens=max_new,
+                     admission_prefill=False)
         # ONE short warm pass (prefill/admission shapes) — the full-matrix
         # double pass exceeded the driver's bench budget (VERDICT r3 #2)
         workload(sched, n=warm_req)

@@ -390,7 +390,7 @@ class BatchScheduler:
     # ------------- startup warmup -------------
 
     def warmup(self, prompt_len: int = 64, max_new_tokens: int = 256,
-               sampling=None) -> int:
+               sampling=None, admission_prefill: bool = True) -> int:
         """Precompile every decode-dispatch shape a workload with prompts
         up to ``prompt_len`` tokens and ``max_new_tokens`` generation can
         touch: batch buckets {1,2,4,8} x 512-token view buckets x the
@@ -514,6 +514,31 @@ class BatchScheduler:
                     jnp.asarray([-1], jnp.int32), 0, view)
                 self._pool_kv = (view.k_pages, view.v_pages)
                 self._warm_shapes.add(key_w)
+                n += 1
+        if admission_prefill:
+            # single-shot admission prefill (try_admit's 1-row view
+            # prefill, cold prompt): one program per prompt bucket. A cold
+            # bucket hit mid-flight stalls the LIVE batch for the full
+            # prefill compile (measured 9.2 s at 1.5B @1024 on the tunnel,
+            # scripts/profile_admission.py) — far worse than the decode
+            # stalls this method was built for. Text programs only (image
+            # admissions compile the encoder-in-prefill program on first
+            # use, the reference worker's first-generate cost). Callers on
+            # a bench/time budget pass admission_prefill=False.
+            for pb in range(engine.bucket, pad_to + 1, engine.bucket):
+                key_p = ("padmit", pb, pps, False)
+                if key_p in self._warm_shapes:
+                    continue
+                view = PagedKVCache(
+                    k_pages=self._pool_kv[0], v_pages=self._pool_kv[1],
+                    block_tables=jnp.full((1, pps), -1, jnp.int32),
+                    lengths=jnp.zeros((1,), jnp.int32))
+                _, view = engine._prefill_jit(
+                    engine.params, None, jnp.zeros((1, pb), jnp.int32),
+                    jnp.asarray([pb], jnp.int32),
+                    jnp.asarray([-1], jnp.int32), view)
+                self._pool_kv = (view.k_pages, view.v_pages)
+                self._warm_shapes.add(key_p)
                 n += 1
         np.asarray(self._pool_kv[0].ravel()[0])  # host fetch = real sync
         return n
@@ -1188,11 +1213,20 @@ class BatchScheduler:
                             jnp.asarray(sstarts), cached_len, view)
                         self.counters["prefix_hits"] += 1
                         self.counters["prefix_hit_tokens"] += cached_len
+                        # same program family as a prefill chunk (traced
+                        # offset, 1-row view): record under the pchunk key
+                        self._warm_shapes.add(
+                            ("pchunk", sb, pps,
+                             prep["images"] is not None))
                     else:
                         logits, view = engine._prefill_jit(
                             engine.params, prep["images"], prep["ids"],
                             prep["lens"], prep["starts"], view,
                             vis=prep["vision_embeds"])
+                        self._warm_shapes.add(
+                            ("padmit", int(prep["ids"].shape[1]), pps,
+                             prep["images"] is not None
+                             or prep["vision_embeds"] is not None))
                 except Exception as e:
                     # prefill doesn't donate: the pool arrays are intact —
                     # fail this request alone and keep the batch alive

@@ -565,7 +565,8 @@ def test_warmup_covers_default_persist_dispatches(engine):
         n = sched.warmup(prompt_len=plen, max_new_tokens=8)
         assert n > 0
         warm = set(sched._warm_shapes)
-        assert all(s[0] == "persist" for s in warm), warm
+        assert all(s[0] in ("persist", "padmit") for s in warm), warm
+        assert any(s[0] == "persist" for s in warm), warm
         want = [engine.chat(p, max_new_tokens=8)[0] for p in prompts]
         results = [None] * len(prompts)
 

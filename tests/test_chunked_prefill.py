@@ -140,6 +140,51 @@ def test_warmup_covers_chunk_prefill_shapes(engine_noeos):
         sched.shutdown()
 
 
+def test_warmup_covers_single_shot_admission(engine_noeos):
+    """The admission-prefill warm grid (warmup(admission_prefill=True))
+    covers try_admit's single-shot 1-row view prefill: a cold text
+    admission into a live batch adds no new _warm_shapes entries (a cold
+    prompt bucket mid-flight costs a full XLA prefill compile that stalls
+    the whole batch — measured 9.2 s at 1.5B on the tunnel)."""
+    eng = engine_noeos
+    sched = BatchScheduler(eng, window_ms=100, paged=True, page_size=16,
+                           pool_tokens=16384, spec=False, prefill_chunk=0)
+    try:
+        anchor_prompt = eng.build_prompt("the anchor row")
+        plen = int(np.asarray(eng.prepare(anchor_prompt)["lens"])[0])
+        n = sched.warmup(prompt_len=plen, max_new_tokens=96)
+        warm = set(sched._warm_shapes)
+        assert any(s[0] == "padmit" for s in warm), warm
+        started = threading.Event()
+
+        def run_anchor():
+            for _ in sched.submit(anchor_prompt, max_new_tokens=96):
+                started.set()
+
+        def run_cold():
+            last = None
+            for last in sched.submit(eng.build_prompt("a late one"),
+                                     max_new_tokens=4):
+                pass
+            assert "error" not in last, last
+
+        ta = threading.Thread(target=run_anchor)
+        ta.start()
+        assert started.wait(timeout=120)
+        tc = threading.Thread(target=run_cold)
+        tc.start()
+        tc.join(timeout=180)
+        ta.join(timeout=180)
+        assert sched.counters["admitted"] >= 1, dict(sched.counters)
+        assert sched.counters["chunked_admissions"] == 0, \
+            dict(sched.counters)
+        assert set(sched._warm_shapes) == warm, (
+            sched._warm_shapes - warm)
+        assert pool_clean(sched)
+    finally:
+        sched.shutdown()
+
+
 def test_chunked_admission_image_prompt(engine_noeos):
     """An image admission chunks too (W=8 < the 16 image tokens, so the
     image chunk widens to the whole span); output matches serial and the
