@@ -26,7 +26,7 @@ from jax import lax
 from fastvlm_tpu.config import FastVLMConfig, resolve_dtype
 from fastvlm_tpu.models import fastvit, projector, qwen2
 from fastvlm_tpu.ops.kv_cache import KVCache, init_cache
-from fastvlm_tpu.ops.sampling import SamplingParams, sample
+from fastvlm_tpu.ops.sampling import SamplingParams, sample, sample_rows
 from fastvlm_tpu.ops.splice import overlay_image_embeds
 
 Params = Dict[str, Any]
@@ -283,6 +283,7 @@ def decode_chunk(
     k: int = 8,
     eos_ids: Tuple[int, ...] = (151645,),
     sampling: SamplingParams = SamplingParams(),
+    row_sampling=None,
 ):
     """Decode k tokens in one device call (lax.scan) — the streaming unit.
 
@@ -291,20 +292,28 @@ def decode_chunk(
     yielding text incrementally (the reference streams per-token through HF
     TextIteratorStreamer on a thread, model_worker.py:176-193).
 
+    ``row_sampling`` (ops.sampling.RowSampling, (B,) arrays) is the traced
+    per-row alternative to the static ``sampling`` — one compiled program
+    serves any mix of greedy/sampled rows (continuous-batching serving).
+
     Returns (tokens (B, k), done (B,), last_tok (B,), cache, key).
     """
     return _chunk_scan(params, cfg, last_tok, done, cache, key, k, eos_ids,
-                       sampling)
+                       sampling, row_sampling)
 
 
-def _chunk_scan(params, cfg, last_tok, done, cache, key, k, eos_ids, sampling):
+def _chunk_scan(params, cfg, last_tok, done, cache, key, k, eos_ids, sampling,
+                row_sampling=None):
     eos = jnp.asarray(eos_ids, jnp.int32)
 
     def body(carry, _):
         tok, done, cache, key = carry
         logits, cache = decode_step(params, cfg, tok, cache)
         key, sub = jax.random.split(key)
-        new = sample(sub, logits, sampling)
+        if row_sampling is not None:
+            new = sample_rows(sub, logits, row_sampling)
+        else:
+            new = sample(sub, logits, sampling)
         new = jnp.where(done, 0, new)
         done = done | jnp.isin(new, eos)
         return (new, done, cache, key), new
@@ -329,6 +338,7 @@ def decode_chunk_paged(
     s_bucket: int = 512,
     eos_ids: Tuple[int, ...] = (151645,),
     sampling: SamplingParams = SamplingParams(),
+    row_sampling=None,
 ):
     """Chunk-view paged decode — the gather-free serving decode (VERDICT r2 #1).
 
@@ -360,7 +370,8 @@ def decode_chunk_paged(
     view_k, view_v = gather_pool_view(cache, s_bucket)
     dense = KVCache(k=view_k, v=view_v, lengths=start_lens)
     toks, done, tok, dense, key = _chunk_scan(
-        params, cfg, last_tok, done, dense, key, k, eos_ids, sampling)
+        params, cfg, last_tok, done, dense, key, k, eos_ids, sampling,
+        row_sampling)
 
     def writeback(carry, layer_in):
         kp, vp, vk, vv = layer_in
@@ -444,6 +455,7 @@ def decode_chunk_view(
     k: int = 8,
     eos_ids: Tuple[int, ...] = (151645,),
     sampling: SamplingParams = SamplingParams(),
+    row_sampling=None,
 ):
     """Persistent-view paged decode — steady-state at dense speed.
 
@@ -464,7 +476,8 @@ def decode_chunk_view(
     start_lens = view.lengths
     s_bucket = view.max_len
     toks, done, tok, view, key = _chunk_scan(
-        params, cfg, last_tok, done, view, key, k, eos_ids, sampling)
+        params, cfg, last_tok, done, view, key, k, eos_ids, sampling,
+        row_sampling)
 
     def writeback(carry, layer_in):
         kp, vp, vk, vv = layer_in
@@ -498,6 +511,7 @@ def decode_chunk_pool(
     k: int = 8,
     eos_ids: Tuple[int, ...] = (151645,),
     sampling: SamplingParams = SamplingParams(),
+    row_sampling=None,
     p_bucket: Optional[int] = None,
 ):
     """In-place pool paged decode — no gather, no dense view, no write-back.
@@ -533,7 +547,10 @@ def decode_chunk_pool(
         logits = qwen2.logits_from_hidden(params["decoder"], hidden,
                                           cfg.decoder)[:, 0]
         key, sub = jax.random.split(key)
-        new = sample(sub, logits, sampling)
+        if row_sampling is not None:
+            new = sample_rows(sub, logits, row_sampling)
+        else:
+            new = sample(sub, logits, sampling)
         new = jnp.where(done, 0, new)
         done = done | jnp.isin(new, eos)
         return (new, done, cache, key), new

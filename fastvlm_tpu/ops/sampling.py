@@ -59,3 +59,70 @@ def sample(
     if params.top_p < 1.0:
         logits = _apply_top_p(logits, params.top_p)
     return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+
+
+class RowSampling(NamedTuple):
+    """Per-row sampling knobs as traced ``(B,)`` arrays.
+
+    ``SamplingParams`` is static under jit (every distinct config keys a
+    fresh XLA program and batches can't mix configs — the reference worker
+    has the same constraint implicitly, serving one request at a time,
+    model_worker.py:140-160). ``RowSampling`` is the batched-serving
+    alternative: the knobs are *data*, so ONE compiled decode program
+    serves any mix of greedy and sampled rows in the same batch.
+    """
+
+    temperature: jnp.ndarray  # (B,) float32; <= 0 => greedy for that row
+    top_p: jnp.ndarray        # (B,) float32; 1.0 => disabled
+    top_k: jnp.ndarray        # (B,) int32;   0   => disabled
+
+    @staticmethod
+    def build(params_per_row, b: int) -> "RowSampling":
+        """Stack per-row ``SamplingParams`` (None => greedy pad row)."""
+        import numpy as np
+        t = np.zeros((b,), np.float32)
+        p = np.ones((b,), np.float32)
+        k = np.zeros((b,), np.int32)
+        for i, sp in enumerate(params_per_row[:b]):
+            if sp is None:
+                continue
+            t[i] = getattr(sp, "temperature", 0.0)
+            p[i] = getattr(sp, "top_p", 1.0)
+            k[i] = getattr(sp, "top_k", 0)
+        return RowSampling(jnp.asarray(t), jnp.asarray(p), jnp.asarray(k))
+
+
+def sample_rows(key: jax.Array, logits: jnp.ndarray,
+                rows: RowSampling) -> jnp.ndarray:
+    """Per-row sampling: logits (B, V) -> ids (B,), knobs traced per row.
+
+    Greedy rows (temperature <= 0) take argmax; sampled rows get
+    temperature scaling + per-row top-k / top-p masks. The masked path
+    needs one descending sort of (B, V) — an all-greedy batch skips it via
+    ``lax.cond`` (both branches live in the same compiled program, so a
+    batch's config mix never triggers a recompile mid-flight).
+    """
+    g = greedy(logits)
+
+    def mixed(_):
+        v = logits.shape[-1]
+        temps = jnp.maximum(rows.temperature, 1e-6)[:, None]
+        scaled = logits.astype(jnp.float32) / temps
+        srt = jnp.sort(scaled, axis=-1)[..., ::-1]
+        ranks = jnp.arange(v)[None, :]
+        # per-row top-k in rank space (top_k == 0 keeps all)
+        keep_k = (rows.top_k[:, None] <= 0) | (ranks < rows.top_k[:, None])
+        srt_m = jnp.where(keep_k, srt, NEG_INF)
+        # per-row top-p over the top-k-masked distribution; top-1 always kept
+        probs = jax.nn.softmax(srt_m, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        keep_p = (((cum - probs) < rows.top_p[:, None]) | (ranks == 0)) \
+            & keep_k
+        thresh = jnp.min(jnp.where(keep_p, srt_m, jnp.inf), axis=-1,
+                         keepdims=True)
+        masked = jnp.where(scaled < thresh, NEG_INF, scaled)
+        s = jax.random.categorical(key, masked, axis=-1).astype(jnp.int32)
+        return jnp.where(rows.temperature <= 0.0, g, s)
+
+    return jax.lax.cond(jnp.any(rows.temperature > 0.0), mixed,
+                        lambda _: g, None)

@@ -22,7 +22,10 @@ decode loop and demultiplexes streams per request:
     batch's decode chunks — in-flight rows keep streaming instead of
     stalling for the whole prompt prefill (Sarathi/vLLM chunked prefill,
     built on vlm.prefill_continue's dynamic offset);
-  * grouping keys include sampling params (they are static under jit).
+  * **per-row sampling** (ops.sampling.RowSampling): temperature/top-k/
+    top-p ride as traced (B,) arrays, so greedy and sampled requests share
+    ONE batch and ONE compiled decode program — no sampling-config grouping,
+    no recompile when a sampled request lands mid-flight.
 
 Static-shape discipline: batch sizes are bucketed to {1, 2, 4, 8}, prompt
 lengths to 64-token multiples — a handful of compiled specializations serve
@@ -80,6 +83,19 @@ def _round_bucket(n: int, page: int, step: int = 512) -> int:
     steps keep the specialization count to a handful)."""
     b = -(-n // step) * step
     return -(-b // page) * page
+
+
+# Canonical widths for the 1-row admission/prefill views. Every jitted
+# paged program is keyed by its block-table WIDTH; deriving these widths
+# from the prompt alone (not from whatever batch envelope happens to be
+# live) keeps the compiled program set small, deterministic, and fully
+# coverable by warmup() — the TPU-native answer to vLLM-style dynamic
+# shapes. Admission ids bucket to _ADMIT_STEP tokens (prefill compute on
+# the pad is ~0.1 ms/256 tok at 0.5B; one avoided mid-flight XLA compile
+# is 3-9 s), view tables to _VIEW_STEP tokens (prefill_continue attention
+# cost scales with table width, so row views can't just span the pool).
+_ADMIT_STEP = 256
+_VIEW_STEP = 512
 
 
 def _prefill_chunk_bounds(lo: int, hi: int, w: int,
@@ -294,8 +310,8 @@ class BatchScheduler:
         # continuous=False restores pure window batching (gathered batches
         # run to completion; no mid-flight admission) — the A/B baseline
         self.continuous = continuous
-        # anti-starvation bound: an incompatible request (different sampling
-        # group, anyres/multi-image) can't join the live batch; once one has
+        # anti-starvation bound: an incompatible request (anyres/multi-image
+        # — ragged token counts) can't join the live batch; once one has
         # waited this long, admission stops so the batch drains and the next
         # _gather() serves it (otherwise a steady compatible stream could
         # keep the batch alive forever while it starves)
@@ -379,8 +395,8 @@ class BatchScheduler:
         # appended at gather/admit/defer/drain/dispatch — debugging and the
         # serving-load diagnosis harness
         self.trace: Optional[list] = None
-        # requests an admission scan popped but could not admit (different
-        # sampling group, anyres/multi-image, didn't fit) — served FIRST by
+        # requests an admission scan popped but could not admit
+        # (anyres/multi-image, didn't fit) — served FIRST by
         # the next _gather so they never fall behind fresh arrivals.
         # Touched only by the scheduler thread.
         self._deferred: List[_Request] = []
@@ -414,7 +430,7 @@ class BatchScheduler:
 
         from fastvlm_tpu.models import vlm
         from fastvlm_tpu.ops.kv_cache import PagedKVCache, init_paged_cache
-        from fastvlm_tpu.ops.sampling import SamplingParams
+        from fastvlm_tpu.ops.sampling import RowSampling, SamplingParams
 
         engine = self.engine
         cfg = engine.cfg
@@ -426,7 +442,9 @@ class BatchScheduler:
         spec_k = self.spec_draft_k
         spec_m = max(1, -(-engine.chunk // (spec_k + 1)))
         spec_slack = (spec_m * (spec_k + 1) + spec_k + 1) if spec_on else 0
-        pps = -(-(pad_to + max_new_tokens + spec_slack) // page)
+        # the canonical batch-table width (_paged_cache): warm programs ARE
+        # the production programs because the width never varies
+        pps = self.pool.num_pages
         if self._pool_kv is None:
             c0 = init_paged_cache(
                 cfg.decoder.num_layers, 1, self.pool.num_pages, page, pps,
@@ -449,6 +467,10 @@ class BatchScheduler:
 
                 tok = jnp.zeros((nb,), jnp.int32)
                 done = jnp.zeros((nb,), bool)
+                # production decode programs take per-row knobs as traced
+                # (nb,) arrays (RowSampling) — the warm call must too, or
+                # the warmed program is keyed differently and never reused
+                rs = RowSampling.build([], nb)
                 if self.persist_view:
                     # the production dispatch set: regather (gather_view at
                     # the headroom bucket), dense decode_chunk on the view,
@@ -458,7 +480,7 @@ class BatchScheduler:
                         view = vlm.gather_view(blank_cache(), vb)
                         _, _, _, view, key = vlm.decode_chunk(
                             engine.params, cfg, tok, done, view, key, k=k,
-                            eos_ids=engine.eos_ids, sampling=sampling)
+                            eos_ids=engine.eos_ids, row_sampling=rs)
                         cache = vlm.sync_pool_from_view(
                             view, blank_cache(), jnp.zeros((nb,), jnp.int32),
                             w=k)
@@ -469,7 +491,7 @@ class BatchScheduler:
                     _, _, _, cache, key = vlm.decode_chunk_paged(
                         engine.params, cfg, tok, done, blank_cache(), key,
                         k=k, s_bucket=s, eos_ids=engine.eos_ids,
-                        sampling=sampling)
+                        row_sampling=rs)
                     self._pool_kv = (cache.k_pages, cache.v_pages)
                     self._warm_shapes.add(("plain", nb, s, k))
                     n += 1
@@ -490,56 +512,84 @@ class BatchScheduler:
                                      carry.cache.v_pages)
                     self._warm_shapes.add(("spec", nb, s, spec_m))
                     n += 1
+        def row_view(vw):
+            return PagedKVCache(
+                k_pages=self._pool_kv[0], v_pages=self._pool_kv[1],
+                block_tables=jnp.full((1, vw), -1, jnp.int32),
+                lengths=jnp.zeros((1,), jnp.int32))
+
+        # every canonical 1-row view width a prompt up to pad_to can take
+        # (_admit_widths): view tables bucket by _VIEW_STEP tokens
+        vw_steps = sorted(
+            {self._admit_widths(t)[1]: t
+             for t in range(_VIEW_STEP,
+                            -(-pad_to // _VIEW_STEP) * _VIEW_STEP + 1,
+                            _VIEW_STEP)}.items())
         if self.prefill_chunk:
             # chunked-admission prefill programs: prefill_continue over a
-            # 1-row pool view at every width bucket a chunk can take
-            # (full chunks pad to the chunk bucket, residues to smaller
-            # multiples of engine.bucket; the offset is traced so every
-            # boundary shares these). Text chunks only — an image-bearing
-            # chunk compiles the encoder-in-prefill program on first use,
-            # exactly like a single-shot image admission (the reference
-            # worker's first-generate compile, model_worker.py:75-106).
+            # 1-row pool view at every (chunk width bucket x canonical view
+            # width) — full chunks pad to the chunk bucket, residues to
+            # smaller multiples of engine.bucket; the offset is traced so
+            # every boundary shares these. Text chunks only — an image-
+            # bearing chunk compiles the encoder-in-prefill program on
+            # first use, exactly like a single-shot image admission (the
+            # reference worker's first-generate compile,
+            # model_worker.py:75-106).
             wmax = -(-self.prefill_chunk // engine.bucket) * engine.bucket
-            for wb in range(engine.bucket, wmax + 1, engine.bucket):
-                key_w = ("pchunk", wb, pps, False)
-                if key_w in self._warm_shapes:
-                    continue
-                view = PagedKVCache(
-                    k_pages=self._pool_kv[0], v_pages=self._pool_kv[1],
-                    block_tables=jnp.full((1, pps), -1, jnp.int32),
-                    lengths=jnp.zeros((1,), jnp.int32))
-                _, view = engine._prefill_suffix_jit(
-                    engine.params, None, jnp.zeros((1, wb), jnp.int32),
-                    jnp.asarray([wb], jnp.int32),
-                    jnp.asarray([-1], jnp.int32), 0, view)
-                self._pool_kv = (view.k_pages, view.v_pages)
-                self._warm_shapes.add(key_w)
-                n += 1
+            for vw, _ in vw_steps:
+                for wb in range(engine.bucket, wmax + 1, engine.bucket):
+                    key_w = ("pchunk", wb, vw, False)
+                    if key_w in self._warm_shapes:
+                        continue
+                    _, view = engine._prefill_suffix_jit(
+                        engine.params, None, jnp.zeros((1, wb), jnp.int32),
+                        jnp.asarray([wb], jnp.int32),
+                        jnp.asarray([-1], jnp.int32), 0, row_view(vw))
+                    self._pool_kv = (view.k_pages, view.v_pages)
+                    self._warm_shapes.add(key_w)
+                    n += 1
         if admission_prefill:
             # single-shot admission prefill (try_admit's 1-row view
-            # prefill, cold prompt): one program per prompt bucket. A cold
-            # bucket hit mid-flight stalls the LIVE batch for the full
-            # prefill compile (measured 9.2 s at 1.5B @1024 on the tunnel,
-            # scripts/profile_admission.py) — far worse than the decode
-            # stalls this method was built for. Text programs only (image
-            # admissions compile the encoder-in-prefill program on first
-            # use, the reference worker's first-generate cost). Callers on
-            # a bench/time budget pass admission_prefill=False.
-            for pb in range(engine.bucket, pad_to + 1, engine.bucket):
-                key_p = ("padmit", pb, pps, False)
+            # prefill, cold prompt): one program per _ADMIT_STEP prompt
+            # bucket. A cold bucket hit mid-flight stalls the LIVE batch
+            # for the full prefill compile (measured 9.2 s at 1.5B @1024 on
+            # the tunnel, scripts/profile_admission.py) — far worse than
+            # the decode stalls this method was built for. Text programs
+            # only (image admissions compile the encoder-in-prefill program
+            # on first use, the reference worker's first-generate cost).
+            # Callers on a bench/time budget pass admission_prefill=False.
+            for pb in range(_ADMIT_STEP,
+                            -(-pad_to // _ADMIT_STEP) * _ADMIT_STEP + 1,
+                            _ADMIT_STEP):
+                vw = self._admit_widths(pb)[1]
+                key_p = ("padmit", pb, vw, False)
                 if key_p in self._warm_shapes:
                     continue
-                view = PagedKVCache(
-                    k_pages=self._pool_kv[0], v_pages=self._pool_kv[1],
-                    block_tables=jnp.full((1, pps), -1, jnp.int32),
-                    lengths=jnp.zeros((1,), jnp.int32))
                 _, view = engine._prefill_jit(
                     engine.params, None, jnp.zeros((1, pb), jnp.int32),
                     jnp.asarray([pb], jnp.int32),
-                    jnp.asarray([-1], jnp.int32), view)
+                    jnp.asarray([-1], jnp.int32), row_view(vw))
                 self._pool_kv = (view.k_pages, view.v_pages)
                 self._warm_shapes.add(key_p)
                 n += 1
+            if self.prefix is not None:
+                # prefix-hit admissions prefill only the suffix
+                # (prefill_continue at a traced offset): one program per
+                # (suffix bucket x canonical view width) with sb bounded by
+                # the view's token span
+                for vw, w_tok in vw_steps:
+                    for sb in range(_ADMIT_STEP, w_tok + 1, _ADMIT_STEP):
+                        key_s = ("pchunk", sb, vw, False)
+                        if key_s in self._warm_shapes:
+                            continue
+                        _, view = engine._prefill_suffix_jit(
+                            engine.params, None,
+                            jnp.zeros((1, sb), jnp.int32),
+                            jnp.asarray([sb], jnp.int32),
+                            jnp.asarray([-1], jnp.int32), 0, row_view(vw))
+                        self._pool_kv = (view.k_pages, view.v_pages)
+                        self._warm_shapes.add(key_s)
+                        n += 1
         np.asarray(self._pool_kv[0].ravel()[0])  # host fetch = real sync
         return n
 
@@ -622,34 +672,24 @@ class BatchScheduler:
             except queue.Empty:
                 return []
         batch = [first]
-        key = self._group_key(first)
-        # drain compatible deferred requests before fresh arrivals
+        # drain deferred requests before fresh arrivals (per-row sampling
+        # makes every config batch-compatible — RowSampling in _run_batch —
+        # so deferral only ever means "didn't fit last time")
         for r in list(self._deferred):
             if len(batch) >= self.max_batch:
                 break
-            if self._group_key(r) == key:
-                batch.append(r)
-                self._deferred.remove(r)
+            batch.append(r)
+            self._deferred.remove(r)
         deadline = time.perf_counter() + self.window_s
         while len(batch) < self.max_batch:
             remaining = deadline - time.perf_counter()
             if remaining <= 0:
                 break
             try:
-                nxt = self.queue.get(timeout=remaining)
+                batch.append(self.queue.get(timeout=remaining))
             except queue.Empty:
                 break
-            if self._group_key(nxt) == key:
-                batch.append(nxt)
-            else:
-                # different sampling config: the next group serves it first
-                self._deferred.append(nxt)
-                break
         return batch
-
-    def _group_key(self, r: _Request):
-        s = r.sampling
-        return (s.temperature, s.top_p, s.top_k)
 
     def _loop(self):
         while not self._stop:
@@ -677,6 +717,16 @@ class BatchScheduler:
             got = self.pool.alloc(n)
         return got
 
+    def _admit_widths(self, plen: int) -> Tuple[int, int]:
+        """(ids_bucket, table_width) for a 1-row admission/chunk view over
+        a ``plen``-token prompt — canonical (prompt-derived) so the program
+        set is enumerable by warmup(): ids round to _ADMIT_STEP tokens,
+        the view's block table to _VIEW_STEP tokens' worth of pages.
+        table_width * page always covers ids_bucket >= plen."""
+        pb = -(-max(plen, 1) // _ADMIT_STEP) * _ADMIT_STEP
+        w_tok = -(-pb // _VIEW_STEP) * _VIEW_STEP
+        return pb, min(self.pool.num_pages, -(-w_tok // self.page_size))
+
     def _paged_cache(self, b, pad_to, max_new, lens_host, n_real):
         """Map prompt pages for each real row; returns (cache, row_pages,
         tables) or None if the pool can't hold the prompts. Pad rows keep an
@@ -687,7 +737,18 @@ class BatchScheduler:
 
         cfg = self.engine.cfg
         page = self.page_size
-        pps = -(-(pad_to + max_new) // page)
+        # CANONICAL table width: every batch's block tables span the whole
+        # pool, whatever its envelope. The width is a compile-time shape of
+        # every paged program (gather_view, decode chunks, spec, prefill) —
+        # deriving it from the batch envelope made each distinct
+        # (prompt, max_new) workload a fresh program family that warmup()
+        # could never predict (measured: 3-9 s XLA stalls on the first
+        # admission into any batch whose envelope differed from warmup's).
+        # Width costs nothing where it matters: decode paths slice tables
+        # to the runtime length bucket before gathering, and writes gather
+        # page ids per position, not per column. Only the (B, pps) int32
+        # upload grows (32 KB at pool 64Ki/page 64 — noise on the tunnel).
+        pps = self.pool.num_pages
         if self._pool_kv is None:
             c0 = init_paged_cache(
                 cfg.decoder.num_layers, b, self.pool.num_pages, page, pps,
@@ -785,7 +846,7 @@ class BatchScheduler:
 
         from fastvlm_tpu.models import vlm
         from fastvlm_tpu.ops.kv_cache import init_cache
-        from fastvlm_tpu.ops.sampling import sample
+        from fastvlm_tpu.ops.sampling import RowSampling, sample, sample_rows
         from fastvlm_tpu.ops.splice import pad_batch
 
         engine = self.engine
@@ -812,7 +873,11 @@ class BatchScheduler:
 
         # per-request prep through the engine's own path
         prepped = [engine.prepare(r.prompt, r.image) for r in batch]
+        # canonical prefill width: batch prompts pad to _ADMIT_STEP buckets
+        # (same rationale as admission views — 4x fewer prefill programs
+        # than the engine's 64-token buckets for sub-ms of pad compute)
         pad_to = max(int(p["ids"].shape[1]) for p in prepped)
+        pad_to = -(-pad_to // _ADMIT_STEP) * _ADMIT_STEP
         rows, starts_l, imgs = [], [], []
         s = cfg.vision.image_size
         for p in prepped:
@@ -832,15 +897,17 @@ class BatchScheduler:
         ids, lens, starts = pad_batch(rows, starts_l, pad_to)
 
         max_new = max(r.max_new_tokens for r in batch)
-        sampling = batch[0].sampling
-        group_key = self._group_key(batch[0])
         # speculative greedy serving (vlm.spec_chunk_paged): verify passes
         # write k+1 slots past each row's length and a chunk commits up to
         # width = m*(k+1) tokens — size block tables and the admission guard
         # with that slack so live rows' writes never leave the mapped /
-        # in-view region (the spec_chunk_paged caller contract)
+        # in-view region (the spec_chunk_paged caller contract). Spec is
+        # greedy-only; with per-row sampling it stays armed whenever the
+        # INITIAL batch is all-greedy and the per-iteration want_spec check
+        # drops it the moment a sampled row is admitted.
         spec_on = (self.spec and self.paged and self.chunk_view
-                   and getattr(sampling, "temperature", 1.0) == 0.0)
+                   and all(getattr(r.sampling, "temperature", 1.0) <= 0.0
+                           for r in batch))
         spec_k = self.spec_draft_k
         spec_m = max(1, -(-self.engine.chunk // (spec_k + 1)))
         spec_width = spec_m * (spec_k + 1)
@@ -900,6 +967,24 @@ class BatchScheduler:
         # activation, so decode writes for the row (done=True) drop into
         # the sink and view syncs can't touch its prefilled KV.
         pending: Dict[int, dict] = {}
+
+        # per-row sampling knobs as traced (B,) arrays: ONE compiled decode
+        # program serves any greedy/sampled mix, and admissions/finishes
+        # just re-upload three tiny vectors instead of re-keying the jit
+        # (free slots sample greedily into masked done rows). Cached by a
+        # host fingerprint so steady state uploads nothing new.
+        _rs_cache = {"sig": None, "rs": None}
+
+        def row_samp():
+            sig = (b, tuple(
+                None if sl is None else (sl.sampling.temperature,
+                                         sl.sampling.top_p, sl.sampling.top_k)
+                for sl in slots))
+            if _rs_cache["sig"] != sig:
+                _rs_cache["sig"] = sig
+                _rs_cache["rs"] = RowSampling.build(
+                    [sl.sampling if sl else None for sl in slots], b)
+            return _rs_cache["rs"]
 
         def flush_view(cache):
             """Sync the pool from the persistent view and drop the view.
@@ -1071,11 +1156,10 @@ class BatchScheduler:
             budget = len(self._deferred) + self.queue.qsize()
             while not self._stop and budget > 0:
                 budget -= 1
-                # deferred compatible requests first (e.g. deferred at
+                # deferred batchable requests first (e.g. deferred at
                 # capacity: a freed slot must go to them, not fresh arrivals)
                 r = next((d for d in self._deferred
-                          if self._group_key(d) == group_key
-                          and self._batchable(d)), None)
+                          if self._batchable(d)), None)
                 if r is not None:
                     self._deferred.remove(r)
                 else:
@@ -1083,12 +1167,14 @@ class BatchScheduler:
                         r = self.queue.get_nowait()
                     except queue.Empty:
                         break
-                if self._group_key(r) != group_key or not self._batchable(r):
+                if not self._batchable(r):
+                    # anyres/multi-image can't share the static-shape batch;
+                    # sampling config never defers (per-row RowSampling)
                     self._deferred.append(r)
                     if self.trace is not None:
                         self.trace.append((time.perf_counter(), "defer",
-                                           "group"))
-                    continue  # compatible requests behind it may still admit
+                                           "shape"))
+                    continue  # batchable requests behind it may still admit
                 # admission reads pool KV (1-row prefill view) and pool
                 # lengths, and rebinds a slot's identity: the persistent
                 # view must be synced back and dropped first
@@ -1154,7 +1240,9 @@ class BatchScheduler:
                     # is actually live (otherwise single-shot is one
                     # dispatch) and the prompt is longer than one chunk.
                     row_pages[i] = row_pgs
-                    tbl = np.full((1, pps), -1, np.int32)
+                    # canonical-width 1-row table (see the single-shot path)
+                    tbl = np.full((1, self._admit_widths(plen)[1]), -1,
+                                  np.int32)
                     tbl[0, :need] = row_pgs
                     pending[i] = {
                         "r": r, "ids": ids_row, "plen": plen,
@@ -1189,9 +1277,16 @@ class BatchScheduler:
                 tables[i, :] = -1
                 tables[i, :need] = row_pgs
                 row_pages[i] = row_pgs
+                # the 1-row prefill view gets its own CANONICAL-width table
+                # (prompt-derived, warmup-enumerable) — never the batch
+                # table's width, which varies with the live envelope and
+                # would key a fresh XLA program per batch shape
+                pb, vw = self._admit_widths(plen)
+                vtbl = np.full((1, vw), -1, np.int32)
+                vtbl[0, :need] = row_pgs
                 view = PagedKVCache(
                     k_pages=cache.k_pages, v_pages=cache.v_pages,
-                    block_tables=jnp.asarray(tables[i:i + 1]),
+                    block_tables=jnp.asarray(vtbl),
                     lengths=jnp.zeros((1,), jnp.int32))
                 wait_ms = (time.perf_counter() - r.t_submit) * 1000
                 t0 = time.perf_counter()
@@ -1200,7 +1295,7 @@ class BatchScheduler:
                         # prefill only the un-cached suffix, attending the
                         # shared prefix pages read-only
                         sfx = ids_row[cached_len:]
-                        sb = -(-len(sfx) // engine.bucket) * engine.bucket
+                        sb = -(-len(sfx) // _ADMIT_STEP) * _ADMIT_STEP
                         sids = np.zeros((1, sb), np.int32)
                         sids[0, :len(sfx)] = sfx
                         sstarts = np.asarray(
@@ -1216,15 +1311,17 @@ class BatchScheduler:
                         # same program family as a prefill chunk (traced
                         # offset, 1-row view): record under the pchunk key
                         self._warm_shapes.add(
-                            ("pchunk", sb, pps,
+                            ("pchunk", sb, vw,
                              prep["images"] is not None))
                     else:
+                        aids = np.zeros((1, pb), np.int32)
+                        aids[0, :plen] = ids_row
                         logits, view = engine._prefill_jit(
-                            engine.params, prep["images"], prep["ids"],
+                            engine.params, prep["images"], jnp.asarray(aids),
                             prep["lens"], prep["starts"], view,
                             vis=prep["vision_embeds"])
                         self._warm_shapes.add(
-                            ("padmit", int(prep["ids"].shape[1]), pps,
+                            ("padmit", pb, vw,
                              prep["images"] is not None
                              or prep["vision_embeds"] is not None))
                 except Exception as e:
@@ -1239,7 +1336,7 @@ class BatchScheduler:
                     r.out.put(_SENTINEL)
                     continue
                 key, sub = jax.random.split(key)
-                t_new = int(np.asarray(sample(sub, logits, sampling))[0])
+                t_new = int(np.asarray(sample(sub, logits, r.sampling))[0])
                 if ht is None:
                     ht = np.asarray(tok).copy()
                     hd = np.asarray(done).copy()
@@ -1353,7 +1450,8 @@ class BatchScheduler:
                     continue
                 # final chunk: activate the row
                 key, sub = jax.random.split(key)
-                t_new = int(np.asarray(sample(sub, logits, sampling))[0])
+                t_new = int(np.asarray(sample(sub, logits,
+                                              st["r"].sampling))[0])
                 if ht is None:
                     ht = np.asarray(tok).copy()
                     hd = np.asarray(done).copy()
@@ -1440,7 +1538,7 @@ class BatchScheduler:
             if batch_cached:
                 sfx_rows = [prompt_ids[i][batch_cached:] for i in range(b)]
                 sfx_pad = -(-max(len(s) for s in sfx_rows[:n_real])
-                            // engine.bucket) * engine.bucket
+                            // _ADMIT_STEP) * _ADMIT_STEP
                 sids = np.zeros((b, sfx_pad), np.int32)
                 slens = np.zeros((b,), np.int32)
                 sstarts = np.full((b,), -1, np.int32)
@@ -1460,7 +1558,7 @@ class BatchScheduler:
                     cache)
             key = jax.random.PRNGKey(time.time_ns() % 2**31)
             key, sub = jax.random.split(key)
-            tok = sample(sub, logits, sampling)
+            tok = sample_rows(sub, logits, row_samp())
             ttft_ms = (time.perf_counter() - t0) * 1000
 
             host_tok = np.asarray(tok)
@@ -1533,6 +1631,9 @@ class BatchScheduler:
                 want_spec = (spec_on and not spec_banned and not pending
                              and 0 < n_active() <= self.spec_max_rows
                              and b <= _round_batch(self.spec_max_rows)
+                             and all(sl is None
+                                     or getattr(sl.sampling, "temperature",
+                                                1.0) <= 0.0 for sl in slots)
                              and self._spec_preferred(n_active()))
                 if want_spec and not spec_live:
                     hist, hist_len, num = build_spec_state()
@@ -1648,7 +1749,7 @@ class BatchScheduler:
                     for _ in range(depth):
                         toks, done, tok, pview, key = vlm.decode_chunk(
                             engine.params, cfg, tok, done, pview, key, k=k,
-                            eos_ids=engine.eos_ids, sampling=sampling)
+                            eos_ids=engine.eos_ids, row_sampling=row_samp())
                         group.append(toks)
                         pview_chunks += 1
                     if depth > 1:
@@ -1665,12 +1766,12 @@ class BatchScheduler:
                     toks, done, tok, cache, key = vlm.decode_chunk_paged(
                         engine.params, cfg, tok, done, cache, key, k=k,
                         s_bucket=s_bucket, eos_ids=engine.eos_ids,
-                        sampling=sampling)
+                        row_sampling=row_samp())
                 else:
                     shape_key = ("dense", b, k)
                     toks, done, tok, cache, key = vlm.decode_chunk(
                         engine.params, cfg, tok, done, cache, key, k=k,
-                        eos_ids=engine.eos_ids, sampling=sampling)
+                        eos_ids=engine.eos_ids, row_sampling=row_samp())
                 host = np.asarray(toks)  # host fetch = the real device sync
                 host_done = np.asarray(done)
                 self._note_rate(shape_key, act_n,

@@ -62,10 +62,13 @@ def test_concurrent_requests_batched_and_correct(engine):
         sched.shutdown()
 
 
-def test_mixed_sampling_groups_split(engine):
+def test_mixed_sampling_shares_one_batch(engine):
     from fastvlm_tpu.ops.sampling import SamplingParams
 
-    sched = BatchScheduler(engine, window_ms=60)
+    # a 3-token generation finishes inside one decode chunk, so the two
+    # requests only share a batch if both land in the gather window —
+    # size it for this 1-core box's thread-start latency
+    sched = BatchScheduler(engine, window_ms=400)
     try:
         out_greedy = []
         out_sampled = []
@@ -79,16 +82,21 @@ def test_mixed_sampling_groups_split(engine):
                                   sampling=SamplingParams(temperature=1.0)):
                 out_sampled.append(u)
 
+        want, _ = engine.chat("x", max_new_tokens=3)
         t1 = threading.Thread(target=run_greedy)
         t2 = threading.Thread(target=run_sampled)
-        t1.start(); t2.start()
+        t1.start(); time.sleep(0.01); t2.start()
         t1.join(timeout=120); t2.join(timeout=120)
         assert out_greedy and out_sampled
         assert "error" not in out_greedy[-1]
         assert "error" not in out_sampled[-1]
-        # different sampling configs must not share a batch
-        assert out_greedy[-1]["stats"]["batch_size"] == 1
-        assert out_sampled[-1]["stats"]["batch_size"] == 1
+        # per-row sampling (RowSampling): mixed configs SHARE one batch and
+        # the greedy row still matches the serial engine byte-for-byte
+        # (batch_size is n_active() at emit time — peers that already
+        # closed in the same chunk no longer count, so look at the peak)
+        assert max(u["stats"]["batch_size"] for u in out_greedy) == 2
+        assert max(u["stats"]["batch_size"] for u in out_sampled) == 2
+        assert out_greedy[-1]["text"] == want
     finally:
         sched.shutdown()
 
@@ -387,11 +395,11 @@ def test_batch_shrinks_after_rows_finish(engine_noeos, persist):
 
 
 def test_incompatible_request_not_starved(engine_noeos):
-    """A steady stream of compatible (greedy) requests keeps the batch alive
-    via admission; a sampled request that can never join must still be
-    served within the fairness bound (admission stops, the batch drains,
-    deferred requests go first)."""
-    from fastvlm_tpu.ops.sampling import SamplingParams
+    """A steady stream of batchable greedy requests keeps the batch alive
+    via admission; a multi-image request (ragged token count — can never
+    join the static-shape batch) must still be served within the fairness
+    bound (admission stops, the batch drains, deferred requests go first)."""
+    from PIL import Image
 
     eng = engine_noeos
     sched = BatchScheduler(eng, window_ms=10, paged=True, page_size=16,
@@ -410,14 +418,57 @@ def test_incompatible_request_not_starved(engine_noeos):
     threading.Thread(target=feeder, daemon=True).start()
     time.sleep(0.3)  # the greedy batch is running
     try:
-        out = list(sched.submit(
-            eng.build_prompt("sampled"), max_new_tokens=4,
-            sampling=SamplingParams(temperature=1.0)))
+        prompt = eng.build_prompt("compare <image> too")  # 2 image spans
+        imgs = [Image.new("RGB", (32, 32), (200, 0, 0)),
+                Image.new("RGB", (32, 32), (0, 200, 0))]
+        out = list(sched.submit(prompt, imgs, max_new_tokens=4))
         assert out and "error" not in out[-1], out[-1] if out else out
         assert sched.counters["drained_for_fairness"] >= 1, \
             dict(sched.counters)
     finally:
         stop_feeding.set()
+        sched.shutdown()
+
+
+def test_sampled_request_admitted_into_greedy_batch(engine_noeos):
+    """Per-row sampling end-to-end: a temperature>0 request arriving while
+    a greedy batch is mid-flight is ADMITTED at a chunk boundary (no drain,
+    no recompile-by-config) and the greedy row's text is unchanged."""
+    from fastvlm_tpu.ops.sampling import SamplingParams
+
+    eng = engine_noeos
+    sched = BatchScheduler(eng, window_ms=20, paged=True, page_size=16,
+                           pool_tokens=16384)
+    try:
+        want_long = eng.chat("steady stream", max_new_tokens=96)[0]
+        results = {}
+        started = threading.Event()
+
+        def run(name, prompt, cap, sp):
+            last = None
+            for last in sched.submit(eng.build_prompt(prompt),
+                                     max_new_tokens=cap, sampling=sp):
+                started.set()
+            assert "error" not in last, last
+            results[name] = last["text"]
+
+        tl = threading.Thread(target=run,
+                              args=("long", "steady stream", 96, None))
+        tl.start()
+        assert started.wait(timeout=120)
+        ts = threading.Thread(
+            target=run, args=("samp", "surprise me", 8,
+                              SamplingParams(temperature=1.0, top_k=8)))
+        ts.start()
+        ts.join(timeout=180)
+        tl.join(timeout=180)
+        assert set(results) == {"long", "samp"}
+        assert results["long"] == want_long, (results["long"], want_long)
+        assert sched.counters["admitted"] >= 1, dict(sched.counters)
+        assert sched.counters["drained_for_fairness"] == 0, \
+            dict(sched.counters)
+        assert pool_clean(sched)
+    finally:
         sched.shutdown()
 
 

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from fastvlm_tpu.config import FastViTConfig, FastVLMConfig, ProjectorConfig, Qwen2Config
 from fastvlm_tpu.models import qwen2, vlm
@@ -61,6 +62,63 @@ def test_sampling_modes():
     toks = [int(sample(jax.random.PRNGKey(i), logits,
                        SamplingParams(temperature=2.0))[0]) for i in range(20)]
     assert all(0 <= t < 4 for t in toks)
+
+
+def test_sample_rows_all_greedy_matches_argmax():
+    from fastvlm_tpu.ops.sampling import RowSampling, sample_rows
+
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.normal(size=(4, 64)).astype(np.float32))
+    rs = RowSampling.build([SamplingParams()] * 4, 4)
+    got = np.asarray(sample_rows(jax.random.PRNGKey(1), logits, rs))
+    np.testing.assert_array_equal(got, np.asarray(jnp.argmax(logits, -1)))
+    # None rows (free slots) are greedy too
+    rs2 = RowSampling.build([None, SamplingParams(), None, None], 4)
+    got2 = np.asarray(sample_rows(jax.random.PRNGKey(1), logits, rs2))
+    np.testing.assert_array_equal(got2, got)
+
+
+@pytest.mark.parametrize("sp", [
+    SamplingParams(temperature=0.7),
+    SamplingParams(temperature=1.3, top_k=5),
+    SamplingParams(temperature=0.9, top_p=0.8),
+    SamplingParams(temperature=1.0, top_k=8, top_p=0.6),
+])
+def test_sample_rows_uniform_config_matches_static(sp):
+    """Rows all sharing one config must draw the SAME tokens as the static
+    ``sample`` path with the same key — the per-row masks reduce to the
+    static masks (ties are measure-zero with continuous random logits)."""
+    from fastvlm_tpu.ops.sampling import RowSampling, sample_rows
+
+    rng = np.random.default_rng(7)
+    logits = jnp.asarray(rng.normal(size=(4, 128)).astype(np.float32) * 3)
+    rs = RowSampling.build([sp] * 4, 4)
+    for seed in range(5):
+        key = jax.random.PRNGKey(seed)
+        want = np.asarray(sample(key, logits, sp))
+        got = np.asarray(sample_rows(key, logits, rs))
+        np.testing.assert_array_equal(got, want)
+
+
+def test_sample_rows_mixed_batch_respects_each_row():
+    """Greedy rows take argmax regardless of what their neighbours do;
+    sampled rows stay inside their own top-k support."""
+    from fastvlm_tpu.ops.sampling import RowSampling, sample_rows
+
+    rng = np.random.default_rng(3)
+    logits_np = rng.normal(size=(3, 64)).astype(np.float32) * 2
+    logits = jnp.asarray(logits_np)
+    rs = RowSampling.build([
+        SamplingParams(),                            # greedy
+        SamplingParams(temperature=1.5, top_k=3),    # sampled, top-3 only
+        None,                                        # free slot => greedy
+    ], 3)
+    top3 = set(np.argsort(logits_np[1])[-3:].tolist())
+    for seed in range(20):
+        got = np.asarray(sample_rows(jax.random.PRNGKey(seed), logits, rs))
+        assert got[0] == int(np.argmax(logits_np[0]))
+        assert got[2] == int(np.argmax(logits_np[2]))
+        assert int(got[1]) in top3
 
 
 def test_generate_greedy_matches_stepwise():
