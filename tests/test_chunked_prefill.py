@@ -34,6 +34,10 @@ def test_chunk_bounds():
     assert _prefill_chunk_bounds(0, 20, 8, 0, 16) == [0, 16, 20]
     # prefix-cached lo > 0
     assert _prefill_chunk_bounds(6, 14, 4, -1, -1) == [6, 10, 14]
+    # a chunk that could swallow the span whole still cuts at img_s: the
+    # image chunk must be exactly the span (ONE canonical width that
+    # warmup() precompiles — ADVICE r4 medium)
+    assert _prefill_chunk_bounds(0, 40, 30, 5, 21) == [0, 5, 21, 40]
     # widths cover [lo, hi) exactly, every boundary outside the open span
     for (lo, hi, w, s, e) in [(0, 37, 8, 12, 28), (0, 37, 8, 0, 16),
                               (3, 40, 16, 20, 36), (0, 5, 8, -1, -1)]:
@@ -174,6 +178,101 @@ def test_warmup_covers_single_shot_admission(engine_noeos):
         tc = threading.Thread(target=run_cold)
         tc.start()
         tc.join(timeout=180)
+        ta.join(timeout=180)
+        assert sched.counters["admitted"] >= 1, dict(sched.counters)
+        assert sched.counters["chunked_admissions"] == 0, \
+            dict(sched.counters)
+        assert set(sched._warm_shapes) == warm, (
+            sched._warm_shapes - warm)
+        assert pool_clean(sched)
+    finally:
+        sched.shutdown()
+
+
+def test_warmup_covers_image_admission_chunk(engine_noeos):
+    """VERDICT r4 #6 + ADVICE r4 medium: the image-bearing admission chunk
+    has ONE canonical width (the forced span boundary in
+    _prefill_chunk_bounds), and warmup() precompiles it — a cold IMAGE
+    admission mid-flight adds zero new _warm_shapes entries. Also guards
+    the text-only fix: a pixel-less prompt's chunks ignore the sentinel
+    span, so they stay on the text grid warmup covers."""
+    eng = engine_noeos
+    rng = np.random.RandomState(1)
+    img = rng.randint(0, 255, (256, 256, 3), np.uint8)
+    prompt = "what objects are on the table and how are they arranged now?"
+    sched = BatchScheduler(eng, window_ms=100, paged=True, page_size=16,
+                           pool_tokens=16384, spec=False, prefill_chunk=8)
+    try:
+        plen_img = int(np.asarray(
+            eng.prepare(eng.build_prompt(prompt), img)["lens"])[0])
+        sched.warmup(prompt_len=plen_img, max_new_tokens=96)
+        warm = set(sched._warm_shapes)
+        assert any(s[0] == "pchunk" and s[3] for s in warm), warm
+        started = threading.Event()
+
+        def run_anchor():
+            for _ in sched.submit(eng.build_prompt("the anchor row"),
+                                  max_new_tokens=96):
+                started.set()
+
+        def run_img():
+            last = None
+            for last in sched.submit(eng.build_prompt(prompt), image=img,
+                                     max_new_tokens=4):
+                pass
+            assert "error" not in last, last
+
+        ta = threading.Thread(target=run_anchor)
+        ta.start()
+        assert started.wait(timeout=120)
+        ti = threading.Thread(target=run_img)
+        ti.start()
+        ti.join(timeout=180)
+        ta.join(timeout=180)
+        assert sched.counters["chunked_admissions"] >= 1, dict(sched.counters)
+        assert set(sched._warm_shapes) == warm, (
+            sched._warm_shapes - warm)
+        assert pool_clean(sched)
+    finally:
+        sched.shutdown()
+
+
+def test_warmup_covers_single_shot_image_admission(engine_noeos):
+    """Single-shot (prefill_chunk=0) image admissions hit the
+    encoder-in-prefill program at the prompt's _ADMIT_STEP bucket; the
+    warm grid covers it — a cold image admission adds no shapes."""
+    eng = engine_noeos
+    rng = np.random.RandomState(2)
+    img = rng.randint(0, 255, (256, 256, 3), np.uint8)
+    prompt = "describe the picture"
+    sched = BatchScheduler(eng, window_ms=100, paged=True, page_size=16,
+                           pool_tokens=16384, spec=False, prefill_chunk=0)
+    try:
+        plen_img = int(np.asarray(
+            eng.prepare(eng.build_prompt(prompt), img)["lens"])[0])
+        sched.warmup(prompt_len=plen_img, max_new_tokens=96)
+        warm = set(sched._warm_shapes)
+        assert any(s[0] == "padmit" and s[3] for s in warm), warm
+        started = threading.Event()
+
+        def run_anchor():
+            for _ in sched.submit(eng.build_prompt("the anchor row"),
+                                  max_new_tokens=96):
+                started.set()
+
+        def run_img():
+            last = None
+            for last in sched.submit(eng.build_prompt(prompt), image=img,
+                                     max_new_tokens=4):
+                pass
+            assert "error" not in last, last
+
+        ta = threading.Thread(target=run_anchor)
+        ta.start()
+        assert started.wait(timeout=120)
+        ti = threading.Thread(target=run_img)
+        ti.start()
+        ti.join(timeout=180)
         ta.join(timeout=180)
         assert sched.counters["admitted"] >= 1, dict(sched.counters)
         assert sched.counters["chunked_admissions"] == 0, \
