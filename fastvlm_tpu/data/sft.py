@@ -302,6 +302,10 @@ class DataArguments:
     data_path: str = ""
     image_folder: Optional[str] = None
     image_aspect_ratio: str = "pad"
+    # anyres training (reference train_qwen.py:957-958 routes
+    # image_aspect_ratio == 'anyres' through process_anyres_image): tile
+    # grids are chosen from these (width, height) pinpoints
+    image_grid_pinpoints: Optional[Sequence[Tuple[int, int]]] = None
     is_multimodal: bool = True
     conv_version: str = "qwen_2"
     max_len: int = 2048
@@ -355,6 +359,61 @@ class SupervisedDataset:
             out.append(n_words if "image" in r else -n_words)
         return out
 
+    @property
+    def _anyres(self) -> bool:
+        return (self.args.image_aspect_ratio == "anyres"
+                and bool(self.args.image_grid_pinpoints))
+
+    def _image_path(self, record) -> str:
+        path = record["image"]
+        if record.get("_image_folder"):
+            path = os.path.join(record["_image_folder"], path)
+        return path
+
+    def anyres_meta(self, idx: int):
+        """(grid_shape, original_size) for sample ``idx`` from the image
+        HEADER only (no pixel decode) — the trainer buckets batches by grid
+        so every anyres batch is static-shape (one tower compile per grid,
+        the same anyres-as-long-context discipline as inference). Text-only
+        samples map to the (1, 1) dummy grid."""
+        from PIL import Image
+
+        from fastvlm_tpu.data.preprocessing import select_best_resolution
+
+        record = self.records[idx]
+        s = self.image_processor.image_size
+        if not self._anyres or "image" not in record:
+            return ((1, 1), (s, s)) if self._anyres else None
+        try:
+            with Image.open(self._image_path(record)) as im:
+                size = im.size
+        except Exception:
+            return (1, 1), (s, s)  # __getitem__ falls back to sample 0
+        best = select_best_resolution(
+            size, list(self.args.image_grid_pinpoints))
+        return (best[0] // s, best[1] // s), size
+
+    def _load_anyres(self, record):
+        """[global view + tiles] stack for anyres training
+        (reference train_qwen.py:957-958 -> mm_utils.process_anyres_image).
+        Returns (tiles (T, S, S, 3), grid_shape, original_size); text-only
+        samples get a single dummy zero tile on the (1, 1) grid (the anyres
+        analog of the reference's dummy zero image, train_qwen.py:978-982)."""
+        from PIL import Image
+
+        from fastvlm_tpu.data.preprocessing import (
+            process_anyres_image, select_best_resolution)
+
+        s = self.image_processor.image_size
+        if "image" not in record:
+            return np.zeros((1, s, s, 3), np.float32), (1, 1), (s, s)
+        image = Image.open(self._image_path(record)).convert("RGB")
+        pins = list(self.args.image_grid_pinpoints)
+        best = select_best_resolution(image.size, pins)
+        tiles = process_anyres_image(image, self.image_processor, pins)
+        return (np.asarray(tiles, np.float32),
+                (best[0] // s, best[1] // s), image.size)
+
     def _load_image(self, record) -> Optional[np.ndarray]:
         from PIL import Image
 
@@ -407,10 +466,15 @@ class SupervisedDataset:
             record["conversations"], self.tokenizer)
         if self.args.max_len:
             ids, labels = ids[: self.args.max_len], labels[: self.args.max_len]
-        image = self._load_image(record)
         has_image = "image" in record
         if not has_image and IMAGE_TOKEN_INDEX in ids:
             raise ValueError(f"sample {idx} has <image> token but no image")
+        if self._anyres and self.args.is_multimodal:
+            tiles, grid_shape, original_size = self._load_anyres(record)
+            return {"ids": ids, "labels": labels, "image": tiles,
+                    "has_image": has_image,
+                    "anyres": (grid_shape, original_size)}
+        image = self._load_image(record)
         return {"ids": ids, "labels": labels, "image": image,
                 "has_image": has_image}
 
@@ -421,17 +485,49 @@ def collate(
     *,
     pad_to_multiple: int = 64,
     pad_id: int = 0,
+    cfg=None,
 ) -> Dict[str, np.ndarray]:
     """Batch: expand image sentinels to static slots (labels -100 there),
-    right-pad to a bucket, stack images. Output feeds train.step.loss_fn."""
+    right-pad to a bucket, stack images. Output feeds train.step.loss_fn.
+
+    AnyRes samples (``sample["anyres"] = (grid_shape, original_size)``,
+    image = a (T, S, S, 3) tile stack) need ``cfg`` (FastVLMConfig) to size
+    the merged token span. The batch must be GRID-UNIFORM — same
+    (grid_shape, crop_box) for every row (the trainer's grid bucketing
+    guarantees it) — so tiles stack to one static (B, T, S, S, 3) array and
+    the whole step is one compiled program per grid. The merge meta rides in
+    the non-array key ``_anyres``; the trainer pops it and passes it to
+    train_step as a static argument."""
     from fastvlm_tpu.ops.splice import expand_image_ids
 
+    anyres = "anyres" in samples[0]
+    tok_counts = [num_image_tokens] * len(samples)
+    meta = None
+    if anyres:
+        from fastvlm_tpu.models.vlm import anyres_crop_box
+        from fastvlm_tpu.ops.anyres import num_merged_tokens
+
+        assert cfg is not None, "anyres collation needs cfg"
+        metas = [(s["anyres"][0],
+                  anyres_crop_box(cfg, s["anyres"][0], s["anyres"][1]))
+                 for s in samples]
+        if len(set(metas)) != 1:
+            raise ValueError(
+                f"anyres batch mixes grids {sorted(set(metas))}: batches "
+                "must be grid-uniform (trainer.batches buckets by grid)")
+        meta = metas[0]
+        tok_counts = [
+            num_merged_tokens(s["anyres"][0], cfg.vision.grid_size,
+                              cfg.mm_patch_merge_type, s["anyres"][1])
+            for s in samples
+        ]
+
     rows, label_rows, starts, images = [], [], [], []
-    for s in samples:
-        row, start = expand_image_ids(s["ids"], num_image_tokens, pad_id=pad_id)
+    for s, n_tok in zip(samples, tok_counts):
+        row, start = expand_image_ids(s["ids"], n_tok, pad_id=pad_id)
         lab = list(s["labels"])
         if start >= 0:
-            lab = lab[:start] + [IGNORE_INDEX] * num_image_tokens + lab[start + 1:]
+            lab = lab[:start] + [IGNORE_INDEX] * n_tok + lab[start + 1:]
         rows.append(np.asarray(row, np.int32))
         label_rows.append(np.asarray(lab, np.int32))
         starts.append(start)
@@ -454,6 +550,9 @@ def collate(
         "image_starts": np.asarray(starts, np.int32),
         "attn_lens": lens,
     }
-    if any(im is not None for im in images):
+    if anyres:
+        batch["tiles"] = np.stack(images)  # (B, T, S, S, 3), grid-uniform
+        batch["_anyres"] = meta            # static (grid_shape, crop_box)
+    elif any(im is not None for im in images):
         batch["images"] = np.stack([im for im in images])
     return batch

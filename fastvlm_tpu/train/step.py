@@ -48,14 +48,35 @@ def loss_fn(
     batch: Dict[str, jnp.ndarray],
     remat: bool = True,
     seq_sharding=None,
+    anyres=None,
 ) -> jnp.ndarray:
     """batch: images (B,H,W,3) | None, ids (B,T), labels (B,T),
     image_starts (B,), attn_lens (B,).
 
     seq_sharding: optional NamedSharding for (B, T, D) hidden states —
-    sequence-parallel training (see qwen2.forward)."""
+    sequence-parallel training (see qwen2.forward).
+
+    anyres: static (grid_shape, crop_box) for anyres training batches
+    (reference trains with image_aspect_ratio == 'anyres' via
+    process_anyres_image, train_qwen.py:957-958). The batch then carries
+    ``tiles`` (B, T, S, S, 3) — grid-uniform, so the tower runs one
+    static-shape pass over B*T tiles and the spatial merge vmaps over the
+    batch; gradients flow through tower + projector exactly like the
+    single-image path."""
+    vision_embeds = None
+    if anyres is not None:
+        grid_shape, crop_box = anyres
+        tiles = batch["tiles"]
+        b, t = tiles.shape[:2]
+        grids = vlm.encode_tile_grids(
+            params, cfg, tiles.reshape((b * t,) + tiles.shape[2:]))
+        grids = grids.reshape((b, t) + grids.shape[1:])
+        vision_embeds = jax.vmap(
+            lambda g: vlm.merge_tile_grids(params, cfg, g, grid_shape,
+                                           crop_box)[0])(grids)
     embeds = vlm._spliced_prompt_embeds(
-        params, cfg, batch.get("images"), batch["ids"], batch["image_starts"])
+        params, cfg, batch.get("images"), batch["ids"],
+        batch["image_starts"], vision_embeds=vision_embeds)
     b, t, _ = embeds.shape
     positions = jnp.arange(t, dtype=jnp.int32)[None].repeat(b, 0)
     # causal mask restricted to real tokens (right padding)
@@ -200,7 +221,8 @@ def train_step_pp(
     return TrainState(params, opt_state, state.step + 1), loss
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "tx", "seq_sharding"),
+@functools.partial(jax.jit, static_argnames=("cfg", "tx", "seq_sharding",
+                                              "anyres"),
                    donate_argnums=(0,))
 def train_step(
     state: TrainState,
@@ -208,9 +230,10 @@ def train_step(
     tx: optax.GradientTransformation,
     batch: Dict[str, jnp.ndarray],
     seq_sharding=None,
+    anyres=None,
 ) -> Tuple[TrainState, jnp.ndarray]:
     loss, grads = _value_and_grad(loss_fn)(
-        state.params, cfg, batch, seq_sharding=seq_sharding)
+        state.params, cfg, batch, seq_sharding=seq_sharding, anyres=anyres)
     updates, opt_state = tx.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
     return TrainState(params, opt_state, state.step + 1), loss

@@ -101,11 +101,16 @@ def main(argv=None):
         decoder = Qwen2Config(vocab_size=258, hidden_size=64, num_layers=2,
                               num_heads=4, num_kv_heads=2, head_dim=16,
                               intermediate_size=128)
+        # anyres tiny runs get a 128px tile grid so the anyres SFT path
+        # (reference train_qwen.py:957-958) is exercisable without weights
+        pins = (((128, 256), (256, 128), (256, 256))
+                if args.image_aspect_ratio == "anyres" else None)
         cfg = FastVLMConfig(
             vision=vision, decoder=decoder,
             projector=ProjectorConfig(mm_hidden_size=vision.out_channels,
                                       hidden_size=64),
-            image_aspect_ratio=args.image_aspect_ratio)
+            image_aspect_ratio=args.image_aspect_ratio,
+            image_grid_pinpoints=pins)
         params = vlm.init(jax.random.PRNGKey(0), cfg)
         tokenizer = ByteTokenizer()
     else:
@@ -159,6 +164,7 @@ def main(argv=None):
         data_path=args.data_path,
         image_folder=args.image_folder,
         image_aspect_ratio=args.image_aspect_ratio,
+        image_grid_pinpoints=cfg.image_grid_pinpoints,
         conv_version=args.conv_version,
         max_len=args.max_len,
     )

@@ -60,7 +60,11 @@ class TrainingArguments:
 
 
 def batches(dataset: SupervisedDataset, sampler: LengthGroupedSampler,
-            batch_size: int, num_image_tokens: int) -> Iterator[Dict[str, np.ndarray]]:
+            batch_size: int, num_image_tokens: int,
+            cfg=None) -> Iterator[Dict[str, np.ndarray]]:
+    if cfg is not None and getattr(dataset, "_anyres", False):
+        yield from _anyres_batches(dataset, sampler, batch_size, cfg)
+        return
     buf: List[Any] = []
     for idx in sampler:
         buf.append(dataset[idx])
@@ -68,6 +72,30 @@ def batches(dataset: SupervisedDataset, sampler: LengthGroupedSampler,
             yield collate(buf, num_image_tokens)
             buf = []
     # drop ragged tail (static shapes)
+
+
+def _anyres_batches(dataset: SupervisedDataset, sampler, batch_size: int,
+                    cfg) -> Iterator[Dict[str, np.ndarray]]:
+    """Grid-uniform anyres batching: samples bucket by their static merge
+    key (grid_shape, crop_box) — read from the image HEADER, no pixel
+    decode — so each batch stacks tiles to one (B, T, S, S, 3) array and
+    train_step compiles once per distinct grid (anyres-as-long-context,
+    the same static-shape discipline as the inference path; the reference
+    instead pads ragged token rows dynamically, train_qwen.py:994-1026)."""
+    from fastvlm_tpu.models.vlm import anyres_crop_box
+
+    buckets: dict = {}
+    for idx in sampler:
+        meta = dataset.anyres_meta(idx)
+        grid_shape, original_size = meta
+        key = (grid_shape, anyres_crop_box(cfg, grid_shape, original_size))
+        buf = buckets.setdefault(key, [])
+        buf.append(idx)
+        if len(buf) == batch_size:
+            yield collate([dataset[i] for i in buf], cfg.num_image_tokens,
+                          cfg=cfg)
+            buckets[key] = []
+    # ragged per-grid tails are dropped (static shapes)
 
 
 class Trainer:
@@ -255,18 +283,26 @@ class Trainer:
                 break
             epoch += 1
             for batch in batches(self.dataset, self.sampler, args.batch_size,
-                                 self.cfg.num_image_tokens):
+                                 self.cfg.num_image_tokens, cfg=self.cfg):
                 if step >= self.total_steps:
                     break
+                # anyres merge meta is a STATIC jit key (grid_shape,
+                # crop_box), not batch data — pop before array conversion
+                anyres = batch.pop("_anyres", None)
                 jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
                 if self.pp_micro:
+                    if anyres is not None:
+                        raise ValueError(
+                            "anyres training composes with dp/tp/sp but not "
+                            "--pp-micro (loss_fn_pp has no tile path); drop "
+                            "--pp-micro or use image_aspect_ratio=pad")
                     self.state, loss = step_mod.train_step_pp(
                         self.state, self.cfg, self.tx, jbatch, self.mesh,
                         self.pp_micro)
                 else:
                     self.state, loss = step_mod.train_step(
                         self.state, self.cfg, self.tx, jbatch,
-                        seq_sharding=self._seq_sharding)
+                        seq_sharding=self._seq_sharding, anyres=anyres)
                 step += 1
                 if step % args.log_steps == 0 or step == self.total_steps:
                     last_loss = float(np.asarray(loss))

@@ -251,3 +251,131 @@ def test_single_separator_style_vicuna_v0():
     assert conv.get_prompt() == (
         conv.system + "###Human: hello###Assistant: hi there###")
     assert conv_templates["v0"] is conv_templates["vicuna_v0"]
+
+
+# ---------------------------------------------------------------------------
+# anyres training (reference train_qwen.py:957-958 -> process_anyres_image)
+# ---------------------------------------------------------------------------
+
+
+def _anyres_cfg():
+    from fastvlm_tpu.config import (
+        FastViTConfig, FastVLMConfig, ProjectorConfig, Qwen2Config)
+
+    vision = FastViTConfig(layers=(1, 1, 1, 1, 1),
+                           embed_dims=(8, 16, 32, 64, 128),
+                           image_size=128, attn_head_dim=16)
+    decoder = Qwen2Config(vocab_size=258, hidden_size=64, num_layers=2,
+                          num_heads=4, num_kv_heads=2, head_dim=16,
+                          intermediate_size=128)
+    return FastVLMConfig(
+        vision=vision, decoder=decoder,
+        projector=ProjectorConfig(mm_hidden_size=vision.out_channels,
+                                  hidden_size=64),
+        image_aspect_ratio="anyres",
+        image_grid_pinpoints=((128, 256), (256, 128), (256, 256)))
+
+
+@pytest.fixture()
+def anyres_dataset(tmp_path):
+    from PIL import Image
+
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    # tall image -> best (128, 256) -> (1, 2) tile grid
+    Image.new("RGB", (100, 220), (120, 30, 200)).save(img_dir / "tall.jpg")
+    # wide image -> best (256, 128) -> (2, 1) grid
+    Image.new("RGB", (220, 100), (30, 120, 10)).save(img_dir / "wide.jpg")
+    data = [
+        {"id": "0", "image": "tall.jpg", "conversations": [
+            {"from": "human", "value": "<image>\nDescribe."},
+            {"from": "gpt", "value": "A purple rectangle."}]},
+        {"id": "1", "image": "wide.jpg", "conversations": [
+            {"from": "human", "value": "<image>\nDescribe."},
+            {"from": "gpt", "value": "A green rectangle."}]},
+        {"id": "2", "image": "tall.jpg", "conversations": [
+            {"from": "human", "value": "<image>\nAgain."},
+            {"from": "gpt", "value": "Still purple."}]},
+        {"id": "3", "conversations": [
+            {"from": "human", "value": "Hi"},
+            {"from": "gpt", "value": "Hello!"}]},
+    ]
+    p = tmp_path / "data.json"
+    p.write_text(json.dumps(data))
+    return str(p), str(img_dir)
+
+
+def test_anyres_dataset_collate_masking_and_shapes(anyres_dataset):
+    from fastvlm_tpu.data.preprocessing import ImageProcessor
+    from fastvlm_tpu.ops.anyres import num_merged_tokens
+
+    cfg = _anyres_cfg()
+    data_path, image_folder = anyres_dataset
+    ds = SupervisedDataset(
+        DataArguments(data_path=data_path, image_folder=image_folder,
+                      image_aspect_ratio="anyres",
+                      image_grid_pinpoints=cfg.image_grid_pinpoints),
+        TOK, ImageProcessor(128))
+    s0 = ds[0]
+    # global view + 2 tiles for the (1, 2) grid
+    assert s0["image"].shape == (3, 128, 128, 3)
+    assert s0["anyres"][0] == (1, 2)
+    assert ds.anyres_meta(0) == ((1, 2), (100, 220))
+    # text-only: dummy single-tile stack on the (1, 1) grid
+    s3 = ds[3]
+    assert s3["image"].shape == (1, 128, 128, 3)
+    assert not s3["has_image"]
+
+    n_tok = num_merged_tokens((1, 2), cfg.vision.grid_size,
+                              cfg.mm_patch_merge_type, (100, 220))
+    batch = collate([s0, ds[2]], cfg.num_image_tokens, pad_to_multiple=16,
+                    cfg=cfg)
+    assert batch["tiles"].shape == (2, 3, 128, 128, 3)
+    assert batch["_anyres"][0] == (1, 2)
+    st = batch["image_starts"][0]
+    # the sentinel expanded to the MERGED token count, all label-masked
+    assert np.all(batch["labels"][0, st:st + n_tok] == IGNORE_INDEX)
+    row = batch["ids"][0]
+    assert batch["attn_lens"][0] >= n_tok
+    # mixing grids in one batch is a contract violation
+    with pytest.raises(ValueError, match="grid-uniform"):
+        collate([s0, ds[1]], cfg.num_image_tokens, cfg=cfg)
+
+
+def test_anyres_train_batches_and_step(anyres_dataset):
+    import jax
+    import jax.numpy as jnp
+
+    from fastvlm_tpu.data.preprocessing import ImageProcessor
+    from fastvlm_tpu.models import vlm
+    from fastvlm_tpu.train import step as ts
+    from fastvlm_tpu.train.sampler import LengthGroupedSampler
+    from fastvlm_tpu.train.trainer import batches
+
+    cfg = _anyres_cfg()
+    data_path, image_folder = anyres_dataset
+    ds = SupervisedDataset(
+        DataArguments(data_path=data_path, image_folder=image_folder,
+                      image_aspect_ratio="anyres",
+                      image_grid_pinpoints=cfg.image_grid_pinpoints,
+                      max_len=256),
+        TOK, ImageProcessor(128))
+    sampler = LengthGroupedSampler(ds.lengths, 2, seed=0)
+    got = list(batches(ds, sampler, 2, cfg.num_image_tokens, cfg=cfg))
+    # the two (1,2)-grid samples batch together; wide + text-only are
+    # ragged per-grid tails (dropped, static shapes)
+    assert len(got) == 1
+    batch = got[0]
+    anyres = batch.pop("_anyres")
+    assert anyres[0] == (1, 2)
+
+    params = vlm.init(jax.random.PRNGKey(0), cfg)
+    tx = ts.make_optimizer(lr=1e-3)
+    state = ts.make_train_state(params, tx)
+    jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+    state, loss = ts.train_step(state, cfg, tx, jbatch, anyres=anyres)
+    l0 = float(loss)
+    assert np.isfinite(l0)
+    # gradients flowed into the tower (tiles path is differentiable)
+    state, loss = ts.train_step(state, cfg, tx, jbatch, anyres=anyres)
+    assert np.isfinite(float(loss)) and float(loss) != l0
