@@ -57,6 +57,15 @@ class _Request:
     out: "queue.Queue"
     stop_strings: Tuple[str, ...] = ()
     t_submit: float = dataclasses.field(default_factory=time.perf_counter)
+    # client-side cancellation (the reference app cancels in-flight
+    # generation, FastVLM App/FastVLMModel.swift:141-151): once set, the
+    # scheduler aborts the row at the next chunk boundary and releases its
+    # pages/slot — a dead SSE client must not hold batch resources
+    cancel: Optional[threading.Event] = None
+
+    @property
+    def cancelled(self) -> bool:
+        return self.cancel is not None and self.cancel.is_set()
 
 
 def _decoder_param_count(dec) -> int:
@@ -689,12 +698,16 @@ class BatchScheduler:
     # ------------- client side -------------
 
     def submit(self, prompt: str, image=None, *, max_new_tokens: int = 256,
-               sampling=None, stop_strings: Tuple[str, ...] = ()) -> Iterator[dict]:
+               sampling=None, stop_strings: Tuple[str, ...] = (),
+               cancel: Optional[threading.Event] = None) -> Iterator[dict]:
+        """``cancel``: set it (from any thread) to abort the request — the
+        scheduler closes its stream, frees its pages and batch slot at the
+        next chunk boundary (finish_reason "cancelled")."""
         from fastvlm_tpu.ops.sampling import SamplingParams
 
         req = _Request(prompt, image, max_new_tokens,
                        sampling or SamplingParams(), queue.Queue(),
-                       tuple(stop_strings))
+                       tuple(stop_strings), cancel=cancel)
         self.queue.put(req)
         while True:
             item = req.out.get()
@@ -917,6 +930,17 @@ class BatchScheduler:
 
         engine = self.engine
         cfg = engine.cfg
+        # requests cancelled while queued never prefill
+        live = []
+        for r in batch:
+            if r.cancelled:
+                self.counters["cancelled"] += 1
+                r.out.put(_SENTINEL)
+            else:
+                live.append(r)
+        batch = live
+        if not batch:
+            return
         n_real = len(batch)
         b = _round_batch(n_real)
 
@@ -933,6 +957,11 @@ class BatchScheduler:
                         r.prompt, r.image,
                         max_new_tokens=r.max_new_tokens, sampling=r.sampling,
                         stop_strings=r.stop_strings):
+                    if r.cancelled:
+                        # closing the generator stops the decode loop at
+                        # its next yield (serial-path cancellation)
+                        self.counters["cancelled"] += 1
+                        break
                     r.out.put(update)
                 r.out.put(_SENTINEL)
             return
@@ -1233,6 +1262,10 @@ class BatchScheduler:
                         r = self.queue.get_nowait()
                     except queue.Empty:
                         break
+                if r.cancelled:
+                    self.counters["cancelled"] += 1
+                    r.out.put(_SENTINEL)
+                    continue
                 if not self._batchable(r):
                     # anyres/multi-image can't share the static-shape batch;
                     # sampling config never defers (per-row RowSampling)
@@ -1686,11 +1719,43 @@ class BatchScheduler:
                     hl[i] = len(p) + len(t)
                     nm[i] = max(1, len(t))
                 return jnp.asarray(hh), jnp.asarray(hl), jnp.asarray(nm)
+            def sweep_cancelled():
+                """Abort client-cancelled rows at the chunk boundary
+                (VERDICT r4 #5; reference FastVLMModel.swift:141-151): the
+                stream closes, pages release via the normal finish path,
+                and mid-prefill rows drop their reserved pages. Device-side
+                the row behaves exactly like a host-finished (length-capped)
+                row: its writes drop through the zeroed table."""
+                nonlocal tables_dirty
+                for i in range(b):
+                    r = slots[i]
+                    if r is None or not r.cancelled:
+                        continue
+                    self.counters["cancelled"] += 1
+                    if self.trace is not None:
+                        self.trace.append((time.perf_counter(), "cancel", i))
+                    if i in pending:
+                        pending.pop(i)
+                        if tables is not None and row_pages[i]:
+                            self.pool.release(row_pages[i])
+                            row_pages[i] = []
+                            tables[i, :] = -1
+                            tables_dirty = True
+                        slots[i] = None
+                        finished[i] = True
+                        r.out.put(_SENTINEL)
+                        continue
+                    if not finished[i]:
+                        finished[i] = True
+                        reasons[i] = "cancelled"
+                        emit(i)
+
             while n_active() > 0 or (admitting and not self._stop
                                      and not self.queue.empty()):
                 if self.trace is not None:
                     self.trace.append((time.perf_counter(), "iter",
                                        n_active(), b, spec_live))
+                sweep_cancelled()
                 if admitting:
                     cache, tok, done, key = try_admit(cache, tok, done, key)
                 if pending:

@@ -22,6 +22,7 @@ import base64
 import io
 import json
 import logging
+import threading
 import time
 import uuid
 from typing import Optional
@@ -170,8 +171,15 @@ class ModelWorker:
             images.append(Image.open(io.BytesIO(base64.b64decode(b))).convert("RGB"))
         return images
 
-    def generate_stream(self, payload: dict):
-        """Sync generator of \\0-delimited JSON chunk bytes."""
+    def generate_stream(self, payload: dict, cancel=None):
+        """Sync generator of \\0-delimited JSON chunk bytes.
+
+        ``cancel`` (threading.Event): set by the HTTP layer when the client
+        disconnects mid-stream — the batcher aborts the row at the next
+        chunk boundary (pages + batch slot released, VERDICT r4 #5); the
+        serial path closes its generator, stopping decode at the next
+        chunk. The reference app cancels in-flight generation the same way
+        (FastVLM App/FastVLMModel.swift:141-151)."""
         from fastvlm_tpu.ops.sampling import SamplingParams
         from fastvlm_tpu.serve.protocol import chunk
 
@@ -205,7 +213,7 @@ class ModelWorker:
             if self.scheduler is not None:
                 stream = self.scheduler.submit(
                     prompt, image, max_new_tokens=max_new, sampling=sampling,
-                    stop_strings=tuple(stop_strings))
+                    stop_strings=tuple(stop_strings), cancel=cancel)
             elif spec:
                 stream = self.engine.stream(
                     prompt, image, max_new_tokens=max_new, sampling=sampling,
@@ -216,6 +224,10 @@ class ModelWorker:
                     prompt, image, max_new_tokens=max_new, sampling=sampling,
                     stop_strings=stop_strings)
             for update in stream:
+                if cancel is not None and cancel.is_set():
+                    # scheduler path: the batcher is already aborting the
+                    # row; serial path: closing this generator stops decode
+                    return
                 if "error" in update:
                     yield chunk(update["error"], ErrorCode.SERVER_ERROR)
                     return
@@ -284,16 +296,22 @@ def build_app(worker: ModelWorker) -> web.Application:
         resp = web.StreamResponse()
         await resp.prepare(request)
         worker.queue_length += 1
+        # client-disconnect cancellation: aiohttp cancels this handler (or
+        # resp.write raises) when the peer goes away; the finally fires
+        # either way and the set() aborts the in-flight row (a no-op if
+        # generation already finished)
+        cancel = threading.Event()
         try:
             async with worker.semaphore:
                 loop = asyncio.get_event_loop()
-                gen = worker.generate_stream(payload)
+                gen = worker.generate_stream(payload, cancel=cancel)
                 while True:
                     piece = await loop.run_in_executor(worker.executor, next, gen, None)
                     if piece is None:
                         break
                     await resp.write(piece)
         finally:
+            cancel.set()
             worker.queue_length -= 1
         return resp
 
@@ -316,9 +334,10 @@ def build_app(worker: ModelWorker) -> web.Application:
 
         # same admission control + queue accounting as the native route
         worker.queue_length += 1
+        cancel = threading.Event()  # set on client disconnect (finally)
         try:
             async with worker.semaphore:
-                gen = worker.generate_stream(payload)
+                gen = worker.generate_stream(payload, cancel=cancel)
 
                 if not stream:
                     last = {"text": "", "error_code": 0}
@@ -372,6 +391,7 @@ def build_app(worker: ModelWorker) -> web.Application:
                 await resp.write(b"data: [DONE]\n\n")
                 return resp
         finally:
+            cancel.set()
             worker.queue_length -= 1
 
     @routes.post("/worker_get_conv_template")
