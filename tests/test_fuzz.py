@@ -50,6 +50,32 @@ def test_fuzz_ragged_batch_decode_independence():
     rng = np.random.RandomState(1)
     smax = 24
 
+    # jitted prefill + decode step: one compile per batch size (b=4 once,
+    # b=1 shared by all four solo decodes) instead of op-by-op eager
+    # dispatch per call (~10 s each on this 1-core host)
+    @jax.jit
+    def _prefill(ids, lens):
+        b = ids.shape[0]
+        cache = init_cache(cfg.num_layers, b, smax, cfg.num_kv_heads,
+                           cfg.head_dim, jnp.float32)
+        e = qwen2.embed(params, ids)
+        mask = qwen2.prefill_mask(lens, 12, smax)
+        pos = jnp.arange(12)[None].repeat(b, 0)
+        h, cache = qwen2.forward(params, cfg, e, pos, cache=cache, mask=mask)
+        cache = cache._replace(lengths=lens)
+        last = jnp.take_along_axis(h, (lens - 1)[:, None, None], 1)
+        tok = jnp.argmax(qwen2.logits_from_hidden(params, last, cfg), -1)[:, 0]
+        return tok, cache
+
+    @jax.jit
+    def _step(tok, cache):
+        e1 = qwen2.embed(params, tok[:, None].astype(jnp.int32))
+        m = qwen2.decode_mask(cache.lengths, smax)
+        h, cache = qwen2.forward(params, cfg, e1, cache.lengths[:, None],
+                                 cache=cache, mask=m, prefill=False)
+        tok = jnp.argmax(qwen2.logits_from_hidden(params, h, cfg), -1)[:, 0]
+        return tok, cache
+
     def greedy_decode(rows):
         b = len(rows)
         ids = np.zeros((b, 12), np.int32)
@@ -57,24 +83,13 @@ def test_fuzz_ragged_batch_decode_independence():
         for i, r in enumerate(rows):
             ids[i, :len(r)] = r
             lens[i] = len(r)
-        cache = init_cache(cfg.num_layers, b, smax, cfg.num_kv_heads,
-                           cfg.head_dim, jnp.float32)
-        e = qwen2.embed(params, jnp.asarray(ids))
-        mask = qwen2.prefill_mask(jnp.asarray(lens), 12, smax)
-        pos = jnp.arange(12)[None].repeat(b, 0)
-        h, cache = qwen2.forward(params, cfg, e, pos, cache=cache, mask=mask)
-        cache = cache._replace(lengths=jnp.asarray(lens))
-        last = jnp.take_along_axis(h, jnp.asarray(lens - 1)[:, None, None], 1)
-        tok = jnp.argmax(qwen2.logits_from_hidden(params, last, cfg), -1)[:, 0]
+        tok, cache = _prefill(jnp.asarray(ids), jnp.asarray(lens))
         outs = [[] for _ in range(b)]
         for step in range(4):
+            host = np.asarray(tok)
             for i in range(b):
-                outs[i].append(int(tok[i]))
-            e1 = qwen2.embed(params, tok[:, None].astype(jnp.int32))
-            m = qwen2.decode_mask(cache.lengths, smax)
-            h, cache = qwen2.forward(params, cfg, e1, cache.lengths[:, None],
-                                     cache=cache, mask=m, prefill=False)
-            tok = jnp.argmax(qwen2.logits_from_hidden(params, h, cfg), -1)[:, 0]
+                outs[i].append(int(host[i]))
+            tok, cache = _step(tok, cache)
         return outs
 
     rows = [rng.randint(1, 97, rng.randint(2, 12)).tolist() for _ in range(4)]

@@ -14,8 +14,13 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_in_process():
-    """With >= n devices visible (conftest's 8-CPU mesh), runs in-process."""
+    """With >= n devices visible (conftest's 8-CPU mesh), runs in-process.
+
+    slow tier: the driver executes dryrun_multichip every round
+    (MULTICHIP_r*.json) and `python __graft_entry__.py` self-tests it, so
+    the fast gate does not pay its 160 s shard_map compile stack."""
     sys.path.insert(0, REPO)
     try:
         from __graft_entry__ import dryrun_multichip

@@ -14,10 +14,28 @@ CFG = Qwen2Config(vocab_size=64, hidden_size=32, num_layers=2, num_heads=4,
                   tie_word_embeddings=True)
 
 
-def _forward(params, ids):
-    h, _ = qwen2.forward(params, CFG, qwen2.embed(params, jnp.asarray(ids)),
+@jax.jit
+def _forward_jit(params, ids):
+    # module-level jit: every test in this file shares one compile per
+    # (tree-structure, ids-shape) instead of dispatching the whole forward
+    # op-by-op eagerly (~10 s/call on this 1-core host)
+    h, _ = qwen2.forward(params, CFG, qwen2.embed(params, ids),
                          jnp.arange(ids.shape[1])[None])
-    return np.asarray(qwen2.logits_from_hidden(params, h, CFG))
+    return qwen2.logits_from_hidden(params, h, CFG)
+
+
+def _forward(params, ids):
+    return np.asarray(_forward_jit(params, jnp.asarray(ids)))
+
+
+def _loss_of(ids, tgt):
+    def loss(p):
+        h, _ = qwen2.forward(p, CFG, qwen2.embed(p, jnp.asarray(ids)),
+                             jnp.arange(ids.shape[1])[None])
+        logits = qwen2.logits_from_hidden(p, h, CFG)
+        onehot = jax.nn.one_hot(tgt, CFG.vocab_size)
+        return -jnp.mean(jnp.sum(jax.nn.log_softmax(logits) * onehot, -1))
+    return loss
 
 
 def test_lora_identity_at_init():
@@ -38,22 +56,22 @@ def test_lora_training_updates_only_adapters():
 
     ids = np.array([[3, 9, 22, 7]], np.int32)
     tgt = np.array([[9, 22, 7, 5]], np.int32)
+    loss = _loss_of(ids, tgt)
 
-    def loss(p):
-        h, _ = qwen2.forward(p, CFG, qwen2.embed(p, jnp.asarray(ids)),
-                             jnp.arange(4)[None])
-        logits = qwen2.logits_from_hidden(p, h, CFG)
-        onehot = jax.nn.one_hot(tgt, CFG.vocab_size)
-        return -jnp.mean(jnp.sum(jax.nn.log_softmax(logits) * onehot, -1))
-
-    gfn = jax.jit(jax.grad(loss))  # eager grad re-traces per step (slow)
-    l0 = float(loss(lparams))
-    p = lparams
-    for _ in range(5):
-        g = gfn(p)
+    # ONE jitted program for loss+grad+optimizer+apply: the eager optax
+    # update alone dispatched hundreds of per-op CPU compiles per step
+    @jax.jit
+    def step(p, opt_state):
+        l, g = jax.value_and_grad(loss)(p)
         updates, opt_state = tx.update(g, opt_state, p)
-        p = optax.apply_updates(p, updates)
-    assert float(loss(p)) < l0
+        return l, optax.apply_updates(p, updates), opt_state
+
+    p = lparams
+    l0 = None
+    for _ in range(5):
+        l, p, opt_state = step(p, opt_state)
+        l0 = float(l) if l0 is None else l0
+    assert float(jax.jit(loss)(p)) < l0
     # dense weights untouched
     np.testing.assert_array_equal(
         np.asarray(p["layers"]["q"]["w"]),
@@ -111,13 +129,7 @@ def test_qlora_grads_match_float_base_lora_grads():
     fp = lora.add_lora(params, jax.random.PRNGKey(1), r=4)
     ids = np.array([[3, 9, 22, 7]], np.int32)
     tgt = np.array([[9, 22, 7, 5]], np.int32)
-
-    def loss(p):
-        h, _ = qwen2.forward(p, CFG, qwen2.embed(p, jnp.asarray(ids)),
-                             jnp.arange(4)[None])
-        logits = qwen2.logits_from_hidden(p, h, CFG)
-        onehot = jax.nn.one_hot(tgt, CFG.vocab_size)
-        return -jnp.mean(jnp.sum(jax.nn.log_softmax(logits) * onehot, -1))
+    loss = _loss_of(ids, tgt)
 
     gq = jax.jit(jax.grad(loss, allow_int=True))(qp)
     gf = jax.jit(jax.grad(loss))(fp)
@@ -140,24 +152,24 @@ def test_qlora_train_step_updates_adapters_only():
         opt_state = tx.init(qp)
         ids = np.array([[3, 9, 22, 7]], np.int32)
         tgt = np.array([[9, 22, 7, 5]], np.int32)
-
-        def loss(p):
-            h, _ = qwen2.forward(p, CFG, qwen2.embed(p, jnp.asarray(ids)),
-                                 jnp.arange(4)[None])
-            logits = qwen2.logits_from_hidden(p, h, CFG)
-            onehot = jax.nn.one_hot(tgt, CFG.vocab_size)
-            return -jnp.mean(jnp.sum(jax.nn.log_softmax(logits) * onehot, -1))
+        loss = _loss_of(ids, tgt)
 
         from fastvlm_tpu.train.step import _value_and_grad
 
-        gfn = jax.jit(_value_and_grad(loss))
-        l0 = float(loss(qp))
-        p = qp
-        for _ in range(5):
-            _, g = gfn(p)
+        # one jitted program per bits-width: loss+grad+update+apply (the
+        # per-step eager optax update was the test's dominant cost)
+        @jax.jit
+        def step(p, opt_state):
+            l, g = _value_and_grad(loss)(p)
             updates, opt_state = tx.update(g, opt_state, p)
-            p = optax.apply_updates(p, updates)
-        assert float(loss(p)) < l0, f"bits={bits}"
+            return l, optax.apply_updates(p, updates), opt_state
+
+        p = qp
+        l0 = None
+        for _ in range(5):
+            l, p, opt_state = step(p, opt_state)
+            l0 = float(l) if l0 is None else l0
+        assert float(jax.jit(loss)(p)) < l0, f"bits={bits}"
         np.testing.assert_array_equal(
             np.asarray(p["layers"]["q"]["w_q"]),
             np.asarray(qp["layers"]["q"]["w_q"]))

@@ -69,15 +69,13 @@ def test_remat_loss_matches_no_remat():
         "ids": jnp.asarray(ids), "labels": jnp.asarray(labels),
         "image_starts": jnp.asarray(starts), "attn_lens": jnp.asarray(lens),
     }
-    l1 = ts.loss_fn(params, cfg, batch, remat=False)
-    l2 = ts.loss_fn(params, cfg, batch, remat=True)
+    # ONE jitted value_and_grad per remat mode (loss + grads from the same
+    # compile; the separate eager loss evals were pure overhead)
+    l1, g1 = jax.jit(jax.value_and_grad(
+        lambda p: ts.loss_fn(p, cfg, batch, remat=False)))(params)
+    l2, g2 = jax.jit(jax.value_and_grad(
+        lambda p: ts.loss_fn(p, cfg, batch, remat=True)))(params)
     np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
-    # jit: eager whole-VLM grads dispatch op-by-op (~100 s on this 1-core
-    # host); one compile each is far cheaper
-    g1 = jax.jit(jax.grad(lambda p: ts.loss_fn(p, cfg, batch,
-                                               remat=False)))(params)
-    g2 = jax.jit(jax.grad(lambda p: ts.loss_fn(p, cfg, batch,
-                                               remat=True)))(params)
     jax.tree.map(lambda a, b: np.testing.assert_allclose(
         np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6), g1, g2)
 

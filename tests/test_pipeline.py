@@ -33,7 +33,10 @@ def _microbatch(x, m):
     return x.reshape((m, -1) + x.shape[1:])
 
 
+@pytest.mark.slow
 def test_pipelined_forward_matches_plain():
+    # slow tier: test_pipelined_train_step_matches_plain runs the same
+    # pipelined forward inside a full train step in the fast gate
     mesh = make_mesh(dp=2, tp=4)  # 4 pipeline stages on the model axis
     params = qwen2.init(jax.random.PRNGKey(0), CFG)
     m, b, t = 4, 2, 8  # b divisible by dp=2 (dp composes with pp)
@@ -52,7 +55,10 @@ def test_pipelined_forward_matches_plain():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_pipelined_gradients_match_plain():
+    # slow tier: subsumed by test_pipelined_train_step_matches_plain
+    # (identical params after one step implies matching gradients)
     mesh = make_mesh(dp=2, tp=4)
     params = qwen2.init(jax.random.PRNGKey(1), CFG)
     m, b, t = 2, 2, 8

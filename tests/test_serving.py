@@ -222,7 +222,8 @@ def test_openai_compatible_endpoint():
 
 
 @pytest.mark.parametrize(
-    "persist", [True, pytest.param(False, marks=pytest.mark.slow)],
+    "persist", [pytest.param(True, marks=pytest.mark.slow),
+                pytest.param(False, marks=pytest.mark.slow)],
     ids=["persist", "chunkview"])
 def test_soak_32_concurrent_mixed_requests_paged_pool(persist):
     """Soak (VERDICT r2 #9): 32 concurrent mixed-length requests through the
