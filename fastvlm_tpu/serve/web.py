@@ -79,6 +79,7 @@ PAGE = """<!doctype html>
 <div id="log"></div>
 <p><textarea id="prompt" placeholder="Ask about the image..."></textarea>
 <button id="send">Send</button>
+<button id="stop" title="cancel generation" disabled>Stop</button>
 <button id="upvote" title="upvote">&#128077;</button>
 <button id="downvote" title="downvote">&#128078;</button>
 <button id="flag" title="flag">&#9872;</button>
@@ -98,6 +99,13 @@ document.getElementById('image').onchange = e => {
     document.getElementById('preview').src = rd.result; };
   rd.readAsDataURL(f);
 };
+let inflight = null;  // AbortController of the active generation
+document.getElementById('stop').onclick = () => {
+  // aborting the fetch drops the SSE connection; the worker sees the
+  // disconnect and aborts the row at the next chunk boundary (the
+  // reference app's single-shot cancel, FastVLMModel.swift:141-151)
+  if (inflight) inflight.abort();
+};
 document.getElementById('send').onclick = async () => {
   const log = document.getElementById('log');
   const prompt = document.getElementById('prompt').value;
@@ -109,22 +117,33 @@ document.getElementById('send').onclick = async () => {
     image_process_mode: document.getElementById('imgmode').value,
     temperature: parseFloat(document.getElementById('temp').value),
     max_new_tokens: parseInt(document.getElementById('maxtok').value)};
-  const resp = await fetch('/api/generate', {method:'POST',
-    headers:{'Content-Type':'application/json'}, body: JSON.stringify(body)});
-  const reader = resp.body.getReader(); const dec = new TextDecoder();
-  let buf='';
-  for(;;){
-    const {done, value} = await reader.read(); if(done) break;
-    buf += dec.decode(value, {stream:true});
-    const parts = buf.split('\\u0000');
-    buf = parts.pop();
-    for(const p of parts){ if(!p) continue; const j = JSON.parse(p);
-      div.textContent = 'ASSISTANT: ' + j.text;
-      lastExchange = {prompt, response: j.text,
-        model: document.getElementById('model').value};
-      if(j.stats) document.getElementById('stats').textContent =
-        'TTFT '+j.stats.ttft_ms+'ms · '+j.stats.tok_per_s+' tok/s';
+  inflight = new AbortController();
+  document.getElementById('stop').disabled = false;
+  try {
+    const resp = await fetch('/api/generate', {method:'POST',
+      headers:{'Content-Type':'application/json'},
+      body: JSON.stringify(body), signal: inflight.signal});
+    const reader = resp.body.getReader(); const dec = new TextDecoder();
+    let buf='';
+    for(;;){
+      const {done, value} = await reader.read(); if(done) break;
+      buf += dec.decode(value, {stream:true});
+      const parts = buf.split('\\u0000');
+      buf = parts.pop();
+      for(const p of parts){ if(!p) continue; const j = JSON.parse(p);
+        div.textContent = 'ASSISTANT: ' + j.text;
+        lastExchange = {prompt, response: j.text,
+          model: document.getElementById('model').value};
+        if(j.stats) document.getElementById('stats').textContent =
+          'TTFT '+j.stats.ttft_ms+'ms · '+j.stats.tok_per_s+' tok/s';
+      }
     }
+  } catch (e) {
+    if (e.name === 'AbortError') div.textContent += ' [stopped]';
+    else throw e;
+  } finally {
+    inflight = null;
+    document.getElementById('stop').disabled = true;
   }
 };
 let lastExchange = null;
