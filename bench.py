@@ -339,11 +339,14 @@ def bench_decode_ctx(cfg, params, batch: int, ctx: int, steps: int = 64,
             return toks, done, tok, None, key
     elif variant == "paged-xla-mixed":
         # measured mixed workload (VERDICT r4 #3): steady persist chunks
-        # with a table-change boundary every ``mix`` chunks — the deferred
+        # with an admission boundary every ``mix`` chunks — the deferred
         # syncs flush (one w=k sync per decoded chunk, exactly the
-        # batcher's flush_view) and the view regathers. This is what the
-        # serving loop actually dispatches when admissions land every
-        # mix*k decoded tokens.
+        # batcher's flush_view) and, as of round 5, the view is RETAINED:
+        # only the rebound row is re-read from the pool
+        # (vlm.update_view_row, 1/B of the full regather the round-4 loop
+        # paid — that cell measured 0.86x dense). This is what the serving
+        # loop actually dispatches when admissions land every mix*k
+        # decoded tokens.
         state = {"view": vlm.gather_view(cache, max_len), "pool": cache,
                  "base": np.full((batch,), ctx, np.int32), "chunks": 0}
 
@@ -356,7 +359,8 @@ def bench_decode_ctx(cfg, params, batch: int, ctx: int, steps: int = 64,
                         jnp.asarray(state["base"] + j * k), w=k)
                 state["base"] = state["base"] + state["chunks"] * k
                 state["pool"] = pool
-                state["view"] = vlm.gather_view(pool, max_len)
+                state["view"] = vlm.update_view_row(
+                    state["view"], pool, jnp.asarray(0, jnp.int32))
                 state["chunks"] = 0
             toks, done, tok, view, key = vlm.decode_chunk(
                 params, cfg, tok, done, state["view"], key, k=k,

@@ -441,6 +441,38 @@ def sync_pool_from_view(view: KVCache, pool, synced_lens: jnp.ndarray,
                          lengths=view.lengths)
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def update_view_row(view: KVCache, pool, row: jnp.ndarray) -> KVCache:
+    """Refresh ONE row of a persistent dense view from the pool.
+
+    A block-table rebind (a freed slot re-admitted with a new request's
+    pages) invalidates exactly that row of the view — every other row's
+    dense columns are still authoritative (the view is always AHEAD of the
+    pool between syncs; decode appends to the view and the pool catches up
+    lazily). Re-gathering the whole pool on every admission, as the
+    round-4 serving loop did, therefore moves B× more KV bytes than the
+    boundary requires; at b8/4096ctx the full regather made the measured
+    admission-boundary pattern 0.86× of dense (docs/PERF.md). This gathers
+    the single rebound row's pages and splices them into the view in
+    place (donated), so admission boundaries cost 1/B of a regather.
+
+    ``row`` is traced: one compiled program per (batch, view-bucket), the
+    same key grid as gather_view — warmup-enumerable."""
+    from fastvlm_tpu.ops.kv_cache import gather_pages
+
+    npages = view.max_len // pool.page_size
+    tbl = lax.dynamic_slice_in_dim(pool.block_tables, row, 1,
+                                   axis=0)[:, :npages]          # (1, npages)
+    rk = jax.vmap(lambda p: gather_pages(p, tbl))(pool.k_pages)
+    rv = jax.vmap(lambda p: gather_pages(p, tbl))(pool.v_pages)
+    zero = jnp.zeros((), jnp.int32)
+    k = lax.dynamic_update_slice(view.k, rk, (zero, row, zero, zero, zero))
+    v = lax.dynamic_update_slice(view.v, rv, (zero, row, zero, zero, zero))
+    row_len = lax.dynamic_slice_in_dim(pool.lengths, row, 1)
+    lengths = lax.dynamic_update_slice(view.lengths, row_len, (row,))
+    return KVCache(k=k, v=v, lengths=lengths)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "k", "eos_ids", "sampling"),
                    donate_argnums=(4, 5))  # donate view + pool
 def decode_chunk_view(

@@ -490,7 +490,8 @@ class BatchScheduler:
                 if self.persist_view:
                     # the production dispatch set: regather (gather_view at
                     # the headroom bucket), dense decode_chunk on the view,
-                    # and the deferred pool sync (w = chunk width)
+                    # the deferred pool sync (w = chunk width), and the
+                    # admission-boundary single-row view refresh
                     vb = min(cap, _round_bucket(s + k, page))
                     if ("persist", nb, vb, k) not in self._warm_shapes:
                         view = vlm.gather_view(blank_cache(), vb)
@@ -500,6 +501,8 @@ class BatchScheduler:
                         cache = vlm.sync_pool_from_view(
                             view, blank_cache(), jnp.zeros((nb,), jnp.int32),
                             w=k)
+                        vlm.update_view_row(view, cache,
+                                            jnp.asarray(0, jnp.int32))
                         self._pool_kv = (cache.k_pages, cache.v_pages)
                         self._warm_shapes.add(("persist", nb, vb, k))
                         n += 1
@@ -1055,6 +1058,11 @@ class BatchScheduler:
         pview = None
         pview_chunks = 0
         pview_base = None
+        # rows whose slot identity was rebound since the view was last
+        # gathered/updated: refreshed one-by-one at the next persist
+        # dispatch (vlm.update_view_row, 1/B of a regather) instead of
+        # dropping the whole view at every admission boundary
+        pview_stale: set = set()
         # chunked admission prefill: slot index -> mid-prefill state. A
         # pending row occupies its slot (keeps the loop alive, blocks
         # re-admission) and holds its pages in row_pages[i], but its HOST
@@ -1081,10 +1089,15 @@ class BatchScheduler:
                     [sl.sampling if sl else None for sl in slots], b)
             return _rs_cache["rs"]
 
-        def flush_view(cache):
-            """Sync the pool from the persistent view and drop the view.
-            Called before anything that reads pool KV or row identity
-            (admission prefill, resize, spec dispatch, re-gather)."""
+        def flush_view(cache, keep=False):
+            """Sync the pool from the persistent view. Called before
+            anything that reads pool KV or row identity (admission prefill,
+            resize, spec dispatch, re-gather). ``keep=False`` drops the
+            view (row layout is about to change: resize/spec/regather);
+            ``keep=True`` retains it — after the sync the view is still
+            authoritative for every row whose slot identity is unchanged,
+            so an admission only has to refresh ITS row (pview_stale →
+            vlm.update_view_row) instead of paying a full pool regather."""
             nonlocal pview, pview_chunks, pview_base
             if pview is None:
                 return cache
@@ -1094,9 +1107,14 @@ class BatchScheduler:
                     jnp.asarray(pview_base + j * flush_view.k, np.int32),
                     w=flush_view.k)
                 self.counters["view_syncs"] += 1
-            pview = None
-            pview_chunks = 0
-            pview_base = None
+            if keep:
+                pview_base = pview_base + pview_chunks * flush_view.k
+                pview_chunks = 0
+            else:
+                pview = None
+                pview_chunks = 0
+                pview_base = None
+                pview_stale.clear()
             return cache
 
         flush_view.k = 0  # set once the chunk width is known
@@ -1275,9 +1293,11 @@ class BatchScheduler:
                                            "shape"))
                     continue  # batchable requests behind it may still admit
                 # admission reads pool KV (1-row prefill view) and pool
-                # lengths, and rebinds a slot's identity: the persistent
-                # view must be synced back and dropped first
-                cache = flush_view(cache)
+                # lengths: sync the persistent view back but KEEP it — only
+                # the rebound slot's view row goes stale (refreshed by
+                # update_view_row at the next dispatch); every other row's
+                # dense columns stay valid, so no full regather
+                cache = flush_view(cache, keep=True)
                 if n_active() >= b:
                     new_b = _round_batch(n_active() + 1)
                     if b >= self.max_batch or new_b > self.max_batch:
@@ -1478,6 +1498,8 @@ class BatchScheduler:
                         round(ttfts[i], 1)))
                 ht[i] = t_new
                 hd[i] = finished[i] or slots[i] is None
+                if pview is not None and not hd[i]:
+                    pview_stale.add(i)
                 # an admission invalidates device spec state (new row's
                 # draft corpus isn't in hist): drop it; the next decision
                 # rebuilds from host state if speculation is still wanted
@@ -1563,8 +1585,9 @@ class BatchScheduler:
                     ht = np.asarray(tok).copy()
                     hd = np.asarray(done).copy()
                 # sync the live rows' generated KV while row i's table is
-                # still -1 (its view garbage drops), THEN expose its pages
-                cache = flush_view(cache)
+                # still -1 (its view garbage drops), THEN expose its pages;
+                # the view survives — only this row goes stale
+                cache = flush_view(cache, keep=True)
                 lengths = np.asarray(cache.lengths).copy()
                 lengths[i] = st["plen"]
                 need = -(-st["plen"] // self.page_size)
@@ -1588,6 +1611,8 @@ class BatchScheduler:
                                        st["plen"], round(ttfts[i], 1)))
                 ht[i] = t_new
                 hd[i] = finished[i] or slots[i] is None
+                if pview is not None and not hd[i]:
+                    pview_stale.add(i)
                 spec_live = False
                 pending.pop(i)
             if ht is not None:
@@ -1889,7 +1914,21 @@ class BatchScheduler:
                             [cur_len[i] if slots[i] is not None else 0
                              for i in range(b)], np.int32)
                         pview_chunks = 0
+                        pview_stale.clear()  # regather refreshed every row
                         self.counters["view_gathers"] += 1
+                    elif pview_stale:
+                        # admissions since the last dispatch rebound these
+                        # rows: splice each one's pool KV into the retained
+                        # view (1/B of a regather per row) — the rest of the
+                        # view is still authoritative
+                        for i in sorted(pview_stale):
+                            if slots[i] is None or finished[i]:
+                                continue  # died before dispatch; done masks
+                            pview = vlm.update_view_row(
+                                pview, cache, jnp.asarray(i, jnp.int32))
+                            pview_base[i] = cur_len[i]
+                            self.counters["view_row_updates"] += 1
+                        pview_stale.clear()
                     shape_key = ("persist", b, pview.max_len, k)
                     group = []
                     for _ in range(depth):

@@ -318,6 +318,61 @@ def test_admission_into_slot_freed_by_finished_row(engine_noeos, persist):
         sched.shutdown()
 
 
+def test_admission_retains_persistent_view(engine_noeos):
+    """Round-5 boundary optimization: an admission into a free slot of a
+    live persist batch must NOT drop and regather the whole view (the
+    round-4 pattern — the full regather made the measured admission
+    boundary 0.86x of dense) — it splices only the rebound row from the
+    pool (vlm.update_view_row). The late request's output parity is
+    covered by test_continuous_admission_into_free_slot; this asserts the
+    DISPATCH SHAPE: view_row_updates records the splice and the admission
+    adds no extra full gather."""
+    eng = engine_noeos
+    sched = BatchScheduler(eng, window_ms=100, paged=True, page_size=16,
+                           pool_tokens=16384, persist_view=True)
+    try:
+        results = {}
+        started = threading.Event()
+
+        def run(name, prompt, cap, signal=False):
+            last = None
+            seen = 0
+            for last in sched.submit(eng.build_prompt(prompt),
+                                     max_new_tokens=cap):
+                seen += 1
+                # the FIRST update is the admission/prefill token (emitted
+                # before any persist dispatch — the view doesn't exist
+                # yet); signal only once a decode chunk landed, so the
+                # late request provably admits into a LIVE view
+                if signal and seen >= 2:
+                    started.set()
+            assert "error" not in last, last
+            results[name] = last["text"]
+
+        threads = [threading.Thread(target=run,
+                                    args=(f"L{i}", p, 48, True))
+                   for i, p in enumerate(["alpha", "beta gamma", "delta"])]
+        for t in threads:
+            t.start()
+            time.sleep(0.01)
+        assert started.wait(timeout=120)
+        gathers_before = sched.counters["view_gathers"]
+        late = threading.Thread(target=run, args=("late", "quick", 4))
+        late.start()
+        late.join(timeout=180)
+        for t in threads:
+            t.join(timeout=180)
+        assert len(results) == 4 and all(results.values())
+        assert sched.counters["view_row_updates"] >= 1, dict(sched.counters)
+        # the admission itself must not regather (bucket growth from the
+        # longs' own decode is the only legitimate extra gather)
+        assert (sched.counters["view_gathers"] - gathers_before) <= 1, \
+            dict(sched.counters)
+        assert pool_clean(sched)
+    finally:
+        sched.shutdown()
+
+
 @pytest.mark.parametrize("persist", [True, False],
                          ids=["persist", "chunkview"])
 def test_batch_grows_for_late_request(engine_noeos, persist):

@@ -478,3 +478,35 @@ def test_persistent_view_with_deferred_sync_matches_dense():
     for row in range(b):
         np.testing.assert_allclose(v2k[:, row, :lens[row]],
                                    vk[:, row, :lens[row]], atol=0)
+
+
+def test_update_view_row_matches_regather():
+    """vlm.update_view_row (the admission-boundary single-row refresh,
+    round 5) must reproduce exactly what a full gather_view would put in
+    that row — and leave every other row's columns untouched."""
+    from fastvlm_tpu.models import vlm
+
+    b, pages_per_seq = 3, 4
+    s_bucket = pages_per_seq * PAGE
+    paged = init_paged_cache(TINY.num_layers, b, b * pages_per_seq + 2, PAGE,
+                             pages_per_seq, TINY.num_kv_heads, TINY.head_dim,
+                             jnp.float32)
+    kk, kv = jax.random.split(jax.random.PRNGKey(3))
+    paged = paged._replace(
+        k_pages=jax.random.normal(kk, paged.k_pages.shape, jnp.float32),
+        v_pages=jax.random.normal(kv, paged.v_pages.shape, jnp.float32),
+        block_tables=_alloc_tables(b, pages_per_seq, 5),
+        lengths=jnp.asarray([7, 12, 3], jnp.int32))
+    full = vlm.gather_view(paged, s_bucket)
+    # a view whose row 1 predates the admission that rebound its slot:
+    # poisoned columns, zeroed length
+    stale = full._replace(k=full.k.at[:, 1].set(-1.0),
+                          v=full.v.at[:, 1].set(-1.0),
+                          lengths=full.lengths.at[1].set(0))
+    fixed = vlm.update_view_row(stale, paged, jnp.asarray(1, jnp.int32))
+    np.testing.assert_array_equal(np.asarray(fixed.lengths),
+                                  np.asarray(full.lengths))
+    np.testing.assert_allclose(np.asarray(fixed.k), np.asarray(full.k),
+                               atol=0)
+    np.testing.assert_allclose(np.asarray(fixed.v), np.asarray(full.v),
+                               atol=0)
