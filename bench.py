@@ -340,7 +340,7 @@ def bench_decode_ctx(cfg, params, batch: int, ctx: int, steps: int = 64,
     elif variant == "paged-xla-mixed":
         # measured mixed workload (VERDICT r4 #3): steady persist chunks
         # with an admission boundary every ``mix`` chunks — the deferred
-        # syncs flush (one w=k sync per decoded chunk, exactly the
+        # sync flushes the whole backlog in ONE wide dispatch (exactly the
         # batcher's flush_view) and, as of round 5, the view is RETAINED:
         # only the rebound row is re-read from the pool
         # (vlm.update_view_row, 1/B of the full regather the round-4 loop
@@ -352,11 +352,16 @@ def bench_decode_ctx(cfg, params, batch: int, ctx: int, steps: int = 64,
 
         def chunk(tok, done, _cache, key):
             if state["chunks"] >= mix:
-                pool = state["pool"]
-                for j in range(state["chunks"]):
+                # one WIDE deferred sync (w = min(8k, view width)) covers
+                # the whole backlog in a single dispatch — exactly the
+                # batcher's flush_view (serve/batcher.py)
+                w = min(8 * k, max_len)
+                pool, off = state["pool"], 0
+                while off < state["chunks"] * k:
                     pool = vlm.sync_pool_from_view(
                         state["view"], pool,
-                        jnp.asarray(state["base"] + j * k), w=k)
+                        jnp.asarray(state["base"] + off), w=w)
+                    off += w
                 state["base"] = state["base"] + state["chunks"] * k
                 state["pool"] = pool
                 state["view"] = vlm.update_view_row(
@@ -391,6 +396,80 @@ def bench_decode_ctx(cfg, params, batch: int, ctx: int, steps: int = 64,
         dt = time.perf_counter() - t0
         best = max(best, n * batch / dt)
     return best
+
+
+def bench_decode_pair(cfg, params, batch: int, ctx: int, steps: int = 128,
+                      page: int = 64, k: int = 16, pairs: int = 5):
+    """Matched-pair dense vs steady-state-serving decode.
+
+    `paged-xla-steady` (the batcher's between-boundary dispatch: dense
+    decode_chunk on the persistent view, pool sync deferred) executes the
+    IDENTICAL compiled program as `dense-xla` — gather_view returns a
+    KVCache with the same pytree and shapes as init_cache's, so jit serves
+    both from one executable (asserted below via the jit cache size). The
+    true ratio is therefore 1.0 by construction; timing them in separate
+    runs on this 1-core host records order/thermal drift instead
+    (BENCH_r04: dense-first ordering biased steady to 0.995x). This
+    interleaves trials dense,steady,dense,steady,... through ONE shared
+    loop body and best-merges each side, so the recorded ratio estimates
+    the construction-time 1.0 rather than the run order."""
+    import jax
+    import jax.numpy as jnp
+
+    from fastvlm_tpu.models import vlm
+    from fastvlm_tpu.ops.kv_cache import init_cache, init_paged_cache
+
+    dtype = (jnp.bfloat16 if cfg.decoder.compute_dtype == "bfloat16"
+             else jnp.float32)
+    dec = cfg.decoder
+    max_len = -(-(ctx + steps + 8) // page) * page
+    key = jax.random.PRNGKey(2)
+    lengths = jnp.full((batch,), ctx, jnp.int32)
+    dense = init_cache(dec.num_layers, batch, max_len, dec.num_kv_heads,
+                       dec.head_dim, dtype)
+    dense = dense._replace(
+        k=jax.random.normal(key, dense.k.shape, dtype) * 0.1,
+        v=jax.random.normal(key, dense.v.shape, dtype) * 0.1,
+        lengths=lengths)
+    pps = max_len // page
+    pool = init_paged_cache(dec.num_layers, batch, batch * pps, page, pps,
+                            dec.num_kv_heads, dec.head_dim, dtype)
+    tables = np.random.RandomState(0).permutation(
+        batch * pps).reshape(batch, pps).astype(np.int32)
+    pool = pool._replace(
+        k_pages=jax.random.normal(key, pool.k_pages.shape, dtype) * 0.1,
+        v_pages=jax.random.normal(key, pool.v_pages.shape, dtype) * 0.1,
+        block_tables=jnp.asarray(tables), lengths=lengths)
+    view = vlm.gather_view(pool, max_len)
+
+    def trial(cache):
+        tok = jnp.full((batch,), 17, jnp.int32)
+        done = jnp.zeros((batch,), bool)
+        kk = jax.random.PRNGKey(0)
+        t0 = time.perf_counter()
+        n = 0
+        while n < steps:
+            toks, done, tok, cache, kk = vlm.decode_chunk(
+                params, cfg, tok, done, cache, kk, k=k, eos_ids=(-1,))
+            n += k
+        sync(toks)
+        return n * batch / (time.perf_counter() - t0), cache
+
+    programs = None
+    size_fn = getattr(vlm.decode_chunk, "_cache_size", None)
+    before = size_fn() if size_fn else None
+    _, dense = trial(dense)                # compile + warm
+    _, view = trial(view)                  # must HIT the same executable
+    if before is not None:
+        programs = size_fn() - before      # 1 => identical program
+    best_d = best_s = 0.0
+    for _ in range(max(1, pairs)):
+        tps, dense = trial(dense)
+        best_d = max(best_d, tps)
+        tps, view = trial(view)
+        best_s = max(best_s, tps)
+    return {"dense": round(best_d, 1), "steady": round(best_s, 1),
+            "programs": programs}
 
 
 def bench_spec(cfg, params, max_new: int = 128, reps: int = 3):
@@ -640,18 +719,26 @@ def run_config(name: str, *, iters: int = 40, dtype: str = "bfloat16",
         # variants are documentation (docs/PERF.md) and run only via
         # --config decode-paged / by hand (VERDICT r4 #1: the default
         # matrix must fit the driver budget).
-        # the dense/steady pair repeats INTERLEAVED: steady dispatches the
-        # very same compiled decode_chunk executable as dense (the view is
-        # a dense KVCache), so the true ratio is 1.0 by construction and
-        # any measured gap is host/tunnel drift over the run — repeats with
-        # a max-merge estimate the ratio fairly (measured: dense-first
-        # ordering biased steady to 0.995x, reversed 0.998x)
-        variants = decode_variants or ("dense-xla", "paged-xla-steady",
-                                       "paged-xla-persist",
-                                       "paged-xla-mixed",
-                                       "dense-xla", "paged-xla-steady")
+        # the dense/steady pair is measured INTERLEAVED through one shared
+        # loop body (bench_decode_pair): steady dispatches the very same
+        # compiled decode_chunk executable as dense (the view is a dense
+        # KVCache — `programs` counts new jit entries and must be 1), so
+        # the true ratio is 1.0 by construction; separate runs recorded
+        # order drift instead (BENCH_r04: dense-first biased steady to
+        # 0.995x).
+        identical = None
         for ctx in (4096,):
-            for variant in variants:
+            pair = bench_decode_pair(cfg, params, batch, ctx, steps=128)
+            results[f"dense-xla@{ctx}"] = pair["dense"]
+            results[f"paged-xla-steady@{ctx}"] = pair["steady"]
+            identical = pair["programs"]
+            print(json.dumps({"config": name, "ctx": ctx,
+                              "pair": pair}), file=sys.stderr)
+            if decode_variants is not None:
+                extra = decode_variants
+            else:
+                extra = ("paged-xla-persist", "paged-xla-mixed")
+            for variant in extra:
                 tps = bench_decode_ctx(cfg, params, batch, ctx,
                                        variant=variant, steps=128, trials=3)
                 cell = f"{variant}@{ctx}"
@@ -662,13 +749,17 @@ def run_config(name: str, *, iters: int = 40, dtype: str = "bfloat16",
         # headline = the serving loop's steady-state dispatch: the batcher
         # carries the dense view across chunks and defers pool syncs to
         # table-change boundaries (serve/batcher.py flush_view), so
-        # between boundaries it pays EXACTLY a dense decode chunk. The
+        # between boundaries it pays EXACTLY a dense decode chunk — the
+        # same compiled program (variants.identical_program). The
         # boundary cost is the paged-xla-mixed cell (VERDICT r4 #3).
         best = results["paged-xla-steady@4096"]
+        results["identical_program"] = (identical == 1 if identical
+                                        is not None else None)
         return {
             "metric": (f"decode throughput {size} b{batch} @4096ctx "
                        "paged-xla-steady (serving steady state; "
-                       "vs_baseline = ratio to dense-xla@4096)"),
+                       "vs_baseline = matched-pair ratio to dense-xla@4096 "
+                       "— same compiled executable)"),
             "value": best, "unit": "tok/s",
             "vs_baseline": round(best / results["dense-xla@4096"], 3),
             "variants": results,

@@ -480,6 +480,73 @@ def test_persistent_view_with_deferred_sync_matches_dense():
                                    vk[:, row, :lens[row]], atol=0)
 
 
+def test_wide_flush_matches_per_chunk_syncs():
+    """flush_view's round-5 dispatch shape: a multi-chunk backlog synced in
+    ceil(total/w) WIDE windows (w = min(8k, view width)) must leave the pool
+    byte-identical to one sync per chunk — including the over-rounded final
+    window whose clamped start (sync_pool_from_view's clip) re-writes
+    earlier columns with their own view values."""
+    from fastvlm_tpu.models import vlm
+
+    b, pages_per_seq, k, chunks = 3, 8, 4, 10
+    s_bucket = pages_per_seq * PAGE  # 64
+
+    def mk_pool(seed):
+        pool = init_paged_cache(TINY.num_layers, b, b * pages_per_seq + 2,
+                                PAGE, pages_per_seq, TINY.num_kv_heads,
+                                TINY.head_dim, jnp.float32)
+        kk, kv = jax.random.split(jax.random.PRNGKey(seed))
+        return pool._replace(
+            k_pages=jax.random.normal(kk, pool.k_pages.shape, jnp.float32),
+            v_pages=jax.random.normal(kv, pool.v_pages.shape, jnp.float32),
+            block_tables=_alloc_tables(b, pages_per_seq, 9),
+            lengths=jnp.asarray([16, 11, 16], jnp.int32))
+
+    pool_a, pool_b = mk_pool(3), mk_pool(3)
+    base = np.asarray(pool_a.lengths).copy()
+    view = vlm.gather_view(pool_a, s_bucket)
+    # simulate `chunks` decode chunks appended to the view only (the
+    # steady-state persist loop): every row advances k per chunk
+    rng = np.random.default_rng(11)
+    vk, vv = np.array(view.k), np.array(view.v)
+    for row in range(b):
+        lo, hi = base[row], base[row] + chunks * k
+        vk[:, row, lo:hi] = rng.standard_normal(vk[:, row, lo:hi].shape)
+        vv[:, row, lo:hi] = rng.standard_normal(vv[:, row, lo:hi].shape)
+    view = view._replace(k=jnp.asarray(vk), v=jnp.asarray(vv),
+                         lengths=jnp.asarray(base + chunks * k))
+
+    # (a) per-chunk syncs, w = k
+    for j in range(chunks):
+        pool_a = vlm.sync_pool_from_view(view, pool_a,
+                                         jnp.asarray(base + j * k), w=k)
+    # (b) wide windows, w = min(8k, view width) — 2 dispatches for 10
+    # chunks; the second window over-rounds past the view end and clamps
+    w = min(8 * k, s_bucket)
+    total, off = chunks * k, 0
+    while off < total:
+        pool_b = vlm.sync_pool_from_view(view, pool_b,
+                                         jnp.asarray(base + off), w=w)
+        off += w
+
+    np.testing.assert_array_equal(np.asarray(pool_a.lengths),
+                                  np.asarray(pool_b.lengths))
+    va, vb_ = vlm.gather_view(pool_a, s_bucket), vlm.gather_view(pool_b,
+                                                                 s_bucket)
+    lens = np.asarray(pool_a.lengths)
+    for row in range(b):
+        np.testing.assert_allclose(
+            np.asarray(vb_.k)[:, row, :lens[row]],
+            np.asarray(va.k)[:, row, :lens[row]], atol=0)
+        np.testing.assert_allclose(
+            np.asarray(vb_.v)[:, row, :lens[row]],
+            np.asarray(va.v)[:, row, :lens[row]], atol=0)
+        # and both equal the view's authoritative columns
+        np.testing.assert_allclose(
+            np.asarray(vb_.k)[:, row, :lens[row]],
+            np.asarray(view.k)[:, row, :lens[row]], atol=0)
+
+
 def test_update_view_row_matches_regather():
     """vlm.update_view_row (the admission-boundary single-row refresh,
     round 5) must reproduce exactly what a full gather_view would put in
