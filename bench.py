@@ -549,31 +549,44 @@ def bench_video(cfg, params, frames: int = 6):
     frame = np.random.RandomState(0).randint(
         0, 256, (cfg.vision.image_size, cfg.vision.image_size, 3), np.uint8)
     vq.ask(frame)  # warm/compile
-    times = []
-    for _ in range(frames):
-        t0 = time.perf_counter()
-        _, stats = vq.ask(frame)
-        times.append((time.perf_counter() - t0) * 1000)
-    list(qa_over_stream(vq, [frame] * 2, latest_only=False, pipelined=True))
-    t0 = time.perf_counter()
-    list(qa_over_stream(vq, [frame] * frames, latest_only=False,
-                        pipelined=True))
-    pipelined_ms = (time.perf_counter() - t0) / frames * 1000
+    list(qa_over_stream(vq, [frame] * 2, latest_only=False,
+                        pipelined=True))  # warm the pipelined overlap path
     # speculative per-frame decode: previous-answer corpus + on-device EOS
     # stop (video.py spec mode); identical answers asserted in tests
     vq_s = VideoQA(engine, "What is happening?", max_new_tokens=32,
                    spec=True)
     vq_s.ask(frame)  # warm/compile
-    spec_times = []
-    accept = 0.0
-    for _ in range(frames):
+    # per-frame video latency is 2 tunnel syncs/frame, and the tunnel RTT
+    # drifts 25-50 ms BETWEEN measurement windows (measured: the same
+    # binary recorded serial 193/pipelined 259 in one run and serial
+    # 258/pipelined 221 in the next) — so the three variants are measured
+    # ROUND-ROBIN and best-merged, like bench_decode_pair, so they share
+    # conditions instead of each eating a different RTT regime.
+    times, spec_times, pipelined_best, accept = [], [], None, 0.0
+    for _ in range(2):
+        rt = []
+        for _ in range(frames):
+            t0 = time.perf_counter()
+            _, stats = vq.ask(frame)
+            rt.append((time.perf_counter() - t0) * 1000)
+        times.append(rt)
         t0 = time.perf_counter()
-        _, st = vq_s.ask(frame)
-        spec_times.append((time.perf_counter() - t0) * 1000)
-        accept = st.get("spec_accept_rate", 0.0)
-    spec_ms = float(np.percentile(spec_times, 50))
-    return (float(np.percentile(times, 50)), times, pipelined_ms,
-            spec_ms, accept)
+        list(qa_over_stream(vq, [frame] * frames, latest_only=False,
+                            pipelined=True))
+        p = (time.perf_counter() - t0) / frames * 1000
+        pipelined_best = p if pipelined_best is None else min(pipelined_best,
+                                                              p)
+        st_ = []
+        for _ in range(frames):
+            t0 = time.perf_counter()
+            _, st = vq_s.ask(frame)
+            st_.append((time.perf_counter() - t0) * 1000)
+            accept = st.get("spec_accept_rate", 0.0)
+        spec_times.append(st_)
+    best_serial = min(times, key=lambda r: np.percentile(r, 50))
+    spec_ms = min(float(np.percentile(r, 50)) for r in spec_times)
+    return (float(np.percentile(best_serial, 50)), best_serial,
+            pipelined_best, spec_ms, accept)
 
 
 def bench_serving(cfg, params, n_req: int = 12, arrival_s: float = 0.25,

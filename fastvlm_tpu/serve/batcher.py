@@ -531,6 +531,14 @@ class BatchScheduler:
                         max_new_tokens=cap, eos_ids=engine.eos_ids,
                         draft_k=spec_k, ngram_n=self.spec_ngram_n,
                         s_bucket=s)
+                    # fetch THIS dispatch's output immediately (not just the
+                    # pool chain at warmup's end): on the tunnel a first
+                    # runtime spec dispatch was observed to stall ~2.3 s
+                    # (second one 105 ms) even though the warm call covered
+                    # its exact jit key — an eager per-dispatch sync removes
+                    # any deferred device-side finalization from the serving
+                    # path's first real spec engage
+                    np.asarray(carry.hist_len)
                     self._pool_kv = (carry.cache.k_pages,
                                      carry.cache.v_pages)
                     self._warm_shapes.add(("spec", nb, s, spec_m, hw))
@@ -1737,6 +1745,8 @@ class BatchScheduler:
             spec_banned = False
             spec_ema = None
             spec_chunks = 0
+            # consecutive under-occupied boundaries (shrink hysteresis)
+            under_occ = 0
 
             def build_spec_state():
                 hist_w = self._hist_width(
@@ -2019,13 +2029,25 @@ class BatchScheduler:
                     nb = _round_batch(n_active())
                     if nb < b:
                         # long-tail shrink: stop paying full-bucket decode
-                        # for rows that already finished
-                        self.counters["shrunk"] += 1
-                        ht = np.asarray(tok).copy()
-                        hd = np.asarray(done).copy()
-                        cache, ht, hd = resize(nb, cache, ht, hd)
-                        tok = jnp.asarray(ht)
-                        done = jnp.asarray(hd)
+                        # for rows that already finished. HYSTERESIS (round
+                        # 5): only after 2 consecutive under-occupied
+                        # boundaries — under staggered arrivals a finish is
+                        # often followed by an admission within one chunk,
+                        # and an immediate shrink+regrow pair costs two
+                        # resizes and two persistent-view regathers for
+                        # nothing (traced: 9 grows + 7 shrinks + 9 full
+                        # regathers in one 12-request/3.8 s run)
+                        under_occ += 1
+                        if under_occ >= 2:
+                            under_occ = 0
+                            self.counters["shrunk"] += 1
+                            ht = np.asarray(tok).copy()
+                            hd = np.asarray(done).copy()
+                            cache, ht, hd = resize(nb, cache, ht, hd)
+                            tok = jnp.asarray(ht)
+                            done = jnp.asarray(hd)
+                    else:
+                        under_occ = 0
             batch_ok = True
         finally:
             if tables is not None:
