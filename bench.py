@@ -869,6 +869,13 @@ def main(argv=None) -> int:
                         "truncates the artifact (VERDICT r3 #2)")
     args = p.parse_args(argv)
 
+    # persistent XLA compile cache (TPU only; CPU is excluded inside — see
+    # engine.enable_compilation_cache docstring): the driver re-runs this
+    # matrix fresh every round on the SAME host, and warm compiles turn
+    # ~200 s of per-config XLA wall into disk loads
+    from fastvlm_tpu.engine import enable_compilation_cache
+    enable_compilation_cache()
+
     if args.config:
         print(json.dumps(run_config(args.config, iters=args.iters,
                                     dtype=args.dtype)))
