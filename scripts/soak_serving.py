@@ -50,6 +50,7 @@ def main() -> int:
     from fastvlm_tpu.serve.batcher import BatchScheduler
 
     enable_compilation_cache()
+    t_build0 = time.perf_counter()
     if args.size == "tiny":  # CPU smoke: same stack, toy weights
         from fastvlm_tpu.engine import build_engine
         eng = build_engine(random_tiny=True)
@@ -57,6 +58,7 @@ def main() -> int:
     else:
         cfg, params = make_model(args.size, args.image_size, "bfloat16")
         eng = Engine(cfg, params, ByteTokenizer(), eos_ids=(-1,))
+    build_s = time.perf_counter() - t_build0
     sched = BatchScheduler(eng, window_ms=30, paged=True, page_size=64,
                            pool_tokens=args.pool_tokens, continuous=True)
 
@@ -86,8 +88,12 @@ def main() -> int:
     # FULL warmup (admission prefill + image chunks included): this is the
     # production-server startup path; without it the storm pays 1.7-2.5 s
     # mid-flight XLA compiles on the shared loop (measured: the same soak
-    # with admission_prefill=False recorded p50 35.9 s — all compile stalls)
+    # with admission_prefill=False recorded p50 35.9 s — all compile stalls).
+    # With the persistent compile cache a RESTART loads this grid from disk
+    # (warmup_s below is the restart time-to-ready when the cache is warm).
+    t_warm0 = time.perf_counter()
     sched.warmup(prompt_len=plen, max_new_tokens=96)
+    warmup_s = time.perf_counter() - t_warm0
 
     # short warm pass so jit-compile stalls don't pollute the storm timing
     for _ in sched.submit(plans[0]["prompt"], image=plans[0]["image"],
@@ -166,6 +172,7 @@ def main() -> int:
         "p95_wall_s": round(done_walls[int(0.95 * (len(done_walls) - 1))], 2),
         "makespan_s": round(makespan, 2),
         "agg_committed_tok_s": round(sum(tokens) / makespan, 1),
+        "build_s": round(build_s, 1), "warmup_s": round(warmup_s, 1),
         "reasons": {r: reasons.count(r) for r in set(reasons)},
         "pool_min_free_pages": pool.min_free,
         "counters": {k: v for k, v in sorted(counters.items())
