@@ -52,6 +52,11 @@ def main() -> int:
     enable_compilation_cache()
     t_build0 = time.perf_counter()
     if args.size == "tiny":  # CPU smoke: same stack, toy weights
+        # tiny MUST stay off the TPU tunnel (it serves one process at a
+        # time); env vars are not enough — the axon plugin rewrites
+        # jax_platforms during import, so force CPU after import
+        import jax
+        jax.config.update("jax_platforms", "cpu")
         from fastvlm_tpu.engine import build_engine
         eng = build_engine(random_tiny=True)
         args.image_size = eng.cfg.vision.image_size
